@@ -1,0 +1,159 @@
+"""Run configuration.
+
+Capability parity with the reference's ``backend/config.py:8-109`` (a
+``Config`` dataclass with ``Method``/``DnnModels`` enums and an
+``INDEX_TYPE`` string), redesigned as a real dataclass with no import-time
+side effects: nothing touches the filesystem at import, every field can be
+overridden per-run (constructor kwargs, ``Config.from_env()``, or the
+indexer/engine CLI flags).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import os
+from pathlib import Path
+
+
+class Method(enum.Enum):
+    """Indexing method (reference: backend/config.py Method enum)."""
+
+    BOVW = "bovw"
+    DNN = "dnn"
+    DHASH = "dhash"
+
+
+class DnnModel(enum.Enum):
+    """CNN embedding backbone (reference: backend/config.py DnnModels enum)."""
+
+    RESNET = "resnet50"
+    BIT = "bit-50"
+    DENSENET = "densenet121"  # siamese backbone, also usable directly
+
+
+class IndexType(enum.Enum):
+    """Vector-index type (reference: backend/utils.py:293-330 INDEX_TYPE)."""
+
+    COSINE = "cosine"  # inner-product over L2-normalized rows
+    L2 = "l2"
+    CELL_PROBE = "cell-probe"  # IVF (coarse quantizer + probed lists)
+    IVFPQ = "ivfpq"  # IVF + product quantization
+
+
+class CornerDescriptorKind(enum.Enum):
+    """Local-descriptor family for the BoVW path.
+
+    The reference wraps OpenCV ORB/SIFT/BRISK and skimage DAISY
+    (backend/descriptors.py:31-44, 207-258); here each is a first-party
+    batched JAX pipeline (see ops/corners.py, ops/daisy.py).
+    """
+
+    ORB = "orb"
+    SIFT = "sift"
+    BRISK = "brisk"
+    DAISY = "daisy"
+
+
+@dataclasses.dataclass
+class Config:
+    # --- paths -----------------------------------------------------------
+    data_dir: Path = Path("data/images")  # corpus of jpg/jpeg/png images
+    artifacts_dir: Path = Path("artifacts")  # indexes, codebooks, pipelines
+
+    # --- method selection -------------------------------------------------
+    method: Method = Method.DNN
+    dnn_model: DnnModel = DnnModel.RESNET
+    index_type: IndexType = IndexType.L2
+    corner_descriptor: CornerDescriptorKind = CornerDescriptorKind.DAISY
+
+    # --- image preprocessing ----------------------------------------------
+    resize_size: int = 224  # reference config.py:33 RESIZE_SIZE
+    thumbnail_size: int = 256  # reference config.py:52 THUMBNAIL_SIZE
+
+    # --- query ------------------------------------------------------------
+    num_images_to_return: int = 20  # reference config.py:39
+    embed_batch_size: int = 64  # batched TPU inference (reference ran batch=1)
+
+    # --- BoVW / codebook ----------------------------------------------------
+    num_clusters: int = 200  # reference config.py:103 NUM_CLUSTERS
+    min_num_clusters: int = 20  # GridSearch sweep range (config.py:104-107)
+    max_num_clusters: int = 200
+    num_cluster_grid_points: int = 4
+    use_cluster_grid_search: bool = False
+    kmeans_niter: int = 25  # faiss.Kmeans defaults mirrored (kmeans_faiss.py:33-37)
+    kmeans_nredo: int = 3
+    kmeans_seed: int = 42
+    kmeans_spherical: bool = True
+    max_descriptors_per_image: int = 256  # fixed-size keypoint budget (TPU-shaped)
+
+    # --- BM25 (OkapiTransformer, reference utils.py:100-219) ----------------
+    bm25_k1: float = 1.0
+    bm25_k2: float = 1.0
+    bm25_b: float = 0.75
+
+    # --- IVF ----------------------------------------------------------------
+    ivf_nlist: int = 8  # reference utils.py:317 ncentroids
+    ivf_nprobe: int = 5  # reference utils.py:324
+    pq_m: int = 16  # subquantizers (reference utils.py:318)
+    pq_nbits: int = 8
+
+    # --- cluster-quality scoring (reference utils.py:235-290) ---------------
+    cluster_score_sample_size: int = 2000
+    cluster_score_repeats: int = 10
+
+    # --- serving ------------------------------------------------------------
+    host: str = "127.0.0.1"
+    port: int = 5000
+
+    # --- mesh / sharding ------------------------------------------------------
+    mesh_axis: str = "data"  # 1-D mesh axis the vector store is sharded over
+
+    def __post_init__(self) -> None:
+        self.data_dir = Path(self.data_dir)
+        self.artifacts_dir = Path(self.artifacts_dir)
+
+    # Artifact locations (reference config.py:76,87,89 equivalents).
+    @property
+    def dnn_index_path(self) -> Path:
+        return self.artifacts_dir / f"dnn_{self.dnn_model.value}_{self.index_type.value}.index"
+
+    @property
+    def bovw_index_path(self) -> Path:
+        return self.artifacts_dir / "bovw.index"
+
+    @property
+    def bovw_pipeline_path(self) -> Path:
+        return self.artifacts_dir / "bovw_pipeline.npz"
+
+    @property
+    def codebook_path(self) -> Path:
+        return self.artifacts_dir / "codebook.npz"
+
+    @property
+    def dhash_store_path(self) -> Path:
+        return self.artifacts_dir / "dhash.npz"
+
+    @property
+    def paths_file(self) -> Path:
+        return self.artifacts_dir / "images.csv"  # id -> path sidecar
+
+    @classmethod
+    def from_env(cls, **overrides) -> "Config":
+        """Build a config from ``ISE_*`` environment variables + overrides."""
+        kw = {}
+        env = os.environ
+        if "ISE_DATA_DIR" in env:
+            kw["data_dir"] = Path(env["ISE_DATA_DIR"])
+        if "ISE_ARTIFACTS_DIR" in env:
+            kw["artifacts_dir"] = Path(env["ISE_ARTIFACTS_DIR"])
+        if "ISE_METHOD" in env:
+            kw["method"] = Method(env["ISE_METHOD"].lower())
+        if "ISE_INDEX_TYPE" in env:
+            kw["index_type"] = IndexType(env["ISE_INDEX_TYPE"].lower())
+        if "ISE_DNN_MODEL" in env:
+            kw["dnn_model"] = DnnModel(env["ISE_DNN_MODEL"].lower())
+        if "ISE_NUM_CLUSTERS" in env:
+            kw["num_clusters"] = int(env["ISE_NUM_CLUSTERS"])
+        kw.update(overrides)
+        return cls(**kw)
