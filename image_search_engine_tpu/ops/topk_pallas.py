@@ -1,0 +1,209 @@
+"""Fused distance + top-k Pallas kernel — the serving-path hot op.
+
+Replaces Faiss's flat-index scan (``faiss.IndexFlatL2/IP.search``, built at
+backend/utils.py:293-330 and called at backend/engine.py:55) with a single
+TPU kernel that streams the store through VMEM tile by tile and maintains a
+running top-k accumulator, so the (Q, N) distance matrix never materializes
+in HBM:
+
+  * the distance tile is one (Q, d) x (d, TILE_N) matmul on the MXU using
+    the ``||x||^2 - 2 q.x`` expansion (store norms precomputed once);
+  * the top-k accumulator lives in VMEM scratch and persists across the
+    sequential TPU grid;
+  * a tile is merged only when its per-row minimum beats some query's
+    current k-th best — after warm-up almost every tile is rejected with a
+    single VPU min-pass, so the steady-state cost is the matmul + one
+    reduction, i.e. HBM-bandwidth bound (the speed-of-light for exact
+    search);
+  * merging extracts the tile's top-k with k unrolled min/argmin passes and
+    folds it into the sorted accumulator with k more passes over (Q, 2k).
+
+Exact (not approximate): parity-tested against ops/distances.topk_flat.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = float("-inf")
+_POS_INF = float("inf")
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _extract_topk(scores: jnp.ndarray, col_ids: jnp.ndarray, k: int):
+    """k unrolled min/argmin extraction passes over (Q, M) scores.
+
+    Returns (vals (Q, k) ascending, ids (Q, k)); consumes `scores` by
+    masking extracted columns to +inf.
+    """
+    q_rows, m = scores.shape
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (q_rows, m), 1)
+    vals, ids = [], []
+    for _ in range(k):
+        v = jnp.min(scores, axis=1)  # (Q,)
+        a = jnp.argmin(scores, axis=1).astype(jnp.int32)  # (Q,)
+        # Gather col_ids at the argmin via masked sum (Mosaic has no
+        # general gather); the mask also retires the extracted column.
+        sel = col_iota == a[:, None]
+        vals.append(v)
+        ids.append(jnp.sum(jnp.where(sel, col_ids, 0), axis=1))
+        scores = jnp.where(sel, _POS_INF, scores)
+    return jnp.stack(vals, axis=1), jnp.stack(ids, axis=1)
+
+
+def _topk_kernel(
+    q_ref,  # (Qp, dp) VMEM
+    xn_ref,  # (TILE_N,) VMEM store norms (or zeros for IP)
+    x_ref,  # (TILE_N, dp) VMEM store tile
+    out_d_ref,  # (Qp, k) VMEM
+    out_i_ref,  # (Qp, k) VMEM
+    acc_d,  # (Qp, k) VMEM scratch, sorted ascending
+    acc_i,  # (Qp, k) VMEM scratch
+    *,
+    k: int,
+    tile_n: int,
+    n_valid: int,
+):
+    i = pl.program_id(0)
+    n_tiles = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _init():
+        acc_d[:] = jnp.full_like(acc_d, _POS_INF)
+        acc_i[:] = jnp.full_like(acc_i, -1)
+
+    qp = q_ref.shape[0]
+
+    # Distance tile on the MXU: ||x||^2 - 2 q.x  (the ||q||^2 term is a
+    # per-row constant; the host-side wrapper re-adds it for true L2).
+    cross = jax.lax.dot_general(
+        q_ref[:],
+        x_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (Qp, TILE_N)
+    scores = xn_ref[:][None, :] - 2.0 * cross
+
+    # Mask padding columns (global col >= n_valid) so they can never win.
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (qp, tile_n), 1)
+    global_cols = col_iota + i * tile_n
+    scores = jnp.where(global_cols < n_valid, scores, _POS_INF)
+
+    # Reject-fast path: merge only if some query row improves.
+    row_min = jnp.min(scores, axis=1)  # (Qp,)
+    worst = acc_d[:, k - 1]  # (Qp,) current k-th best
+    any_improve = jnp.any(row_min < worst)
+
+    @pl.when(any_improve)
+    def _merge():
+        tile_d, tile_ids = _extract_topk(scores, global_cols, k)
+        # Fold sorted tile top-k into the sorted accumulator: top-k of 2k.
+        cat_d = jnp.concatenate([acc_d[:], tile_d], axis=1)  # (Qp, 2k)
+        cat_i = jnp.concatenate([acc_i[:], tile_ids], axis=1)
+        new_d, new_i = _extract_topk(cat_d, cat_i, k)
+        acc_d[:] = new_d
+        acc_i[:] = new_i
+
+    @pl.when(i == n_tiles - 1)
+    def _finalize():
+        out_d_ref[:] = acc_d[:]
+        out_i_ref[:] = acc_i[:]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "metric", "tile_n", "interpret")
+)
+def topk_pallas(
+    q: jnp.ndarray,
+    x: jnp.ndarray,
+    k: int,
+    metric: str = "l2",
+    *,
+    x_norms: Optional[jnp.ndarray] = None,
+    tile_n: int = 1024,
+    interpret: Optional[bool] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact k-NN via the fused Pallas kernel. Same contract as
+    ``ops.distances.topk_flat``: returns (distances, indices), distances
+    ascending for l2, descending for ip/cosine.
+
+    Args:
+      q: (Q, d) f32/bf16 queries.
+      x: (N, d) store.
+      k: neighbors (<= 128).
+      metric: "l2" | "ip" | "cosine".
+      x_norms: optional precomputed ||x||^2 (N,) to skip recomputation.
+      tile_n: store rows per VMEM tile.
+      interpret: force Pallas interpret mode (defaults to True off-TPU).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if k > 128:
+        raise ValueError("k > 128 not supported by the fused kernel")
+
+    if metric == "cosine":
+        from image_search_engine_tpu.ops.distances import l2_normalize
+
+        q = l2_normalize(q)
+        x = l2_normalize(x)
+        metric = "ip"
+    if metric not in ("l2", "ip"):
+        raise ValueError(f"unsupported metric {metric!r}")
+
+    qn, d = q.shape
+    n = x.shape[0]
+    dp = _round_up(d, 128)
+    qp = _round_up(qn, 8)
+    tile_n = min(tile_n, _round_up(n, 128))
+    npad = _round_up(n, tile_n)
+
+    qf = jnp.pad(q.astype(jnp.float32), ((0, qp - qn), (0, dp - d)))
+    xf = jnp.pad(x.astype(jnp.float32), ((0, npad - n), (0, dp - d)))
+    if metric == "l2":
+        norms = jnp.sum(x.astype(jnp.float32) * x, axis=1) if x_norms is None else x_norms
+        norms = jnp.pad(norms, (0, npad - n))
+    else:
+        # IP: score = -q.x, realized by xn=0 and halving the -2 factor via
+        # pre-scaling q by 0.5.
+        qf = qf * 0.5
+        norms = jnp.zeros((npad,), jnp.float32)
+    grid = (npad // tile_n,)
+    kernel = functools.partial(_topk_kernel, k=k, tile_n=tile_n, n_valid=n)
+    out_d, out_i = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((qp, dp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, dp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((qp, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((qp, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((qp, k), jnp.float32),
+            jax.ShapeDtypeStruct((qp, k), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((qp, k), jnp.float32),
+            pltpu.VMEM((qp, k), jnp.int32),
+        ],
+        interpret=interpret,
+    )(qf, norms, xf)
+
+    out_d = out_d[:qn]
+    out_i = out_i[:qn]
+    if metric == "l2":
+        qnorm = jnp.sum(q.astype(jnp.float32) * q, axis=1, keepdims=True)
+        return jnp.maximum(out_d + qnorm, 0.0), out_i
+    return -out_d, out_i
