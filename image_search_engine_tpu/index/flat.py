@@ -1,0 +1,122 @@
+"""Flat exact-search index: the IndexFlatL2 / IndexFlatIP / "cosine"
+replacement (reference create_search_index, backend/utils.py:293-330, and
+index.search at backend/engine.py:55).
+
+One class serves all three reference index types:
+  * "l2"     -> squared-L2 ascending (IndexFlatL2 semantics)
+  * "ip"     -> inner product descending (IndexFlatIP)
+  * "cosine" -> rows L2-normalized at add time, queries at search time,
+                then IP (the reference's normalize_L2 + IndexFlatIP combo,
+                utils.py:300-303)
+
+Search runs the fused Pallas kernel per shard on TPU (ops/topk_pallas.py)
+or the XLA matmul+top_k path elsewhere, with the cross-shard merge of
+parallel/topk.py when the store is sharded. Serialization is a plain
+``.npz`` (replacing faiss.write_index/read_index, e.g. engine.py:116,131).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+
+from image_search_engine_tpu.index.store import VectorStore
+from image_search_engine_tpu.ops.distances import l2_normalize
+from image_search_engine_tpu.parallel.topk import distributed_topk, local_topk_with_norms
+
+
+class FlatIndex:
+    """Exact k-NN index over an HBM-resident (optionally ICI-sharded) store."""
+
+    metric_kind = "flat"
+
+    def __init__(self, metric: str = "l2", mesh: Optional[Mesh] = None, axis: str = "data"):
+        if metric not in ("l2", "ip", "cosine"):
+            raise ValueError(f"unsupported metric {metric!r}")
+        self.metric = metric
+        self.mesh = mesh
+        self.axis = axis
+        self.store: Optional[VectorStore] = None
+
+    # -- Faiss-like surface -------------------------------------------------
+    @property
+    def ntotal(self) -> int:
+        return 0 if self.store is None else self.store.n
+
+    @property
+    def d(self) -> int:
+        assert self.store is not None
+        return self.store.dim
+
+    def add(self, x: np.ndarray) -> "FlatIndex":
+        """Set the corpus (one-shot bulk add; append = rebuild, which at TPU
+        speeds is cheaper than incremental-update machinery)."""
+        x = np.asarray(x, np.float32)
+        if self.metric == "cosine":
+            x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        if self.store is not None:
+            x = np.concatenate([self.store.to_host(), x])
+        self.store = VectorStore.build(x, mesh=self.mesh, axis=self.axis)
+        return self
+
+    def search(
+        self, q: np.ndarray, k: int, use_pallas: Optional[bool] = None
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """k-NN search; returns (distances (Q, k), indices (Q, k)).
+
+        Distances ascending for l2, descending for ip/cosine — matching
+        Faiss. Indices of padding rows never appear (pad norms poisoned).
+        """
+        assert self.store is not None, "add() vectors first"
+        q = jnp.asarray(q, jnp.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        search_metric = self.metric
+        if self.metric == "cosine":
+            q = l2_normalize(q)
+            search_metric = "ip"
+        k_eff = min(k, self.store.n_padded)
+        if self.mesh is not None:
+            d, i = distributed_topk(
+                q,
+                self.store.vectors,
+                self.store.norms,
+                k_eff,
+                search_metric,
+                self.mesh,
+                self.axis,
+                use_pallas=use_pallas,
+            )
+        else:
+            if use_pallas is None:
+                use_pallas = jax.default_backend() == "tpu"
+            d, i = local_topk_with_norms(
+                q, self.store.vectors, self.store.norms, k_eff, search_metric, use_pallas
+            )
+        return np.asarray(d)[:, :k], np.asarray(i)[:, :k]
+
+    # -- serialization (replaces faiss.write_index/read_index) ---------------
+    def save(self, path: str | Path) -> None:
+        assert self.store is not None
+        np.savez_compressed(
+            path,
+            vectors=self.store.to_host(),
+            metric=np.array(self.metric),
+            kind=np.array(self.metric_kind),
+        )
+
+    @classmethod
+    def load(
+        cls, path: str | Path, mesh: Optional[Mesh] = None, axis: str = "data"
+    ) -> "FlatIndex":
+        z = np.load(path, allow_pickle=False)
+        idx = cls(metric=str(z["metric"]), mesh=mesh, axis=axis)
+        # rows were already normalized at save time for cosine; build the
+        # store directly to avoid double normalization (idempotent anyway)
+        idx.store = VectorStore.build(z["vectors"], mesh=mesh, axis=axis)
+        return idx

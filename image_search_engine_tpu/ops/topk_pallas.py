@@ -39,24 +39,27 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _extract_topk(scores: jnp.ndarray, col_ids: jnp.ndarray, k: int):
-    """k unrolled min/argmin extraction passes over (Q, M) scores.
+def _extract_topk_inplace(scores_ref, col_ids, k: int):
+    """k unrolled min/argmin extraction passes over a (Q, M) scores *ref*.
 
-    Returns (vals (Q, k) ascending, ids (Q, k)); consumes `scores` by
+    Mutating the ref in place keeps the VMEM footprint at one buffer
+    (k SSA copies of a (Q, TILE_N) tile blow the Mosaic scoped-vmem stack).
+    Returns (vals (Q, k) ascending, ids (Q, k)); consumes the scores by
     masking extracted columns to +inf.
     """
-    q_rows, m = scores.shape
+    q_rows, m = scores_ref.shape
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (q_rows, m), 1)
     vals, ids = [], []
     for _ in range(k):
-        v = jnp.min(scores, axis=1)  # (Q,)
-        a = jnp.argmin(scores, axis=1).astype(jnp.int32)  # (Q,)
+        s = scores_ref[:]
+        v = jnp.min(s, axis=1)  # (Q,)
+        a = jnp.argmin(s, axis=1).astype(jnp.int32)  # (Q,)
         # Gather col_ids at the argmin via masked sum (Mosaic has no
         # general gather); the mask also retires the extracted column.
         sel = col_iota == a[:, None]
         vals.append(v)
         ids.append(jnp.sum(jnp.where(sel, col_ids, 0), axis=1))
-        scores = jnp.where(sel, _POS_INF, scores)
+        scores_ref[:] = jnp.where(sel, _POS_INF, s)
     return jnp.stack(vals, axis=1), jnp.stack(ids, axis=1)
 
 
@@ -68,6 +71,9 @@ def _topk_kernel(
     out_i_ref,  # (Qp, k) VMEM
     acc_d,  # (Qp, k) VMEM scratch, sorted ascending
     acc_i,  # (Qp, k) VMEM scratch
+    scores_buf,  # (Qp, TILE_N) VMEM scratch for in-place extraction
+    merge_buf,  # (Qp, 2k) VMEM scratch for the accumulator fold
+    merge_ids,  # (Qp, 2k) VMEM scratch
     *,
     k: int,
     tile_n: int,
@@ -105,11 +111,13 @@ def _topk_kernel(
 
     @pl.when(any_improve)
     def _merge():
-        tile_d, tile_ids = _extract_topk(scores, global_cols, k)
+        scores_buf[:] = scores
+        tile_d, tile_ids = _extract_topk_inplace(scores_buf, global_cols, k)
         # Fold sorted tile top-k into the sorted accumulator: top-k of 2k.
-        cat_d = jnp.concatenate([acc_d[:], tile_d], axis=1)  # (Qp, 2k)
+        merge_buf[:] = jnp.concatenate([acc_d[:], tile_d], axis=1)  # (Qp, 2k)
         cat_i = jnp.concatenate([acc_i[:], tile_ids], axis=1)
-        new_d, new_i = _extract_topk(cat_d, cat_i, k)
+        merge_ids[:] = cat_i
+        new_d, new_i = _extract_topk_inplace(merge_buf, merge_ids[:], k)
         acc_d[:] = new_d
         acc_i[:] = new_i
 
@@ -173,9 +181,17 @@ def topk_pallas(
         norms = jnp.pad(norms, (0, npad - n))
     else:
         # IP: score = -q.x, realized by xn=0 and halving the -2 factor via
-        # pre-scaling q by 0.5.
+        # pre-scaling q by 0.5. If the caller passed (possibly poisoned)
+        # store norms, keep only the pad poisoning: real norms must not
+        # shift IP scores.
+        from image_search_engine_tpu.parallel.topk import PAD_NORM
+
         qf = qf * 0.5
-        norms = jnp.zeros((npad,), jnp.float32)
+        if x_norms is None:
+            norms = jnp.zeros((npad,), jnp.float32)
+        else:
+            penalty = jnp.where(x_norms >= PAD_NORM / 2, jnp.float32(PAD_NORM), 0.0)
+            norms = jnp.pad(penalty, (0, npad - n))
     grid = (npad // tile_n,)
     kernel = functools.partial(_topk_kernel, k=k, tile_n=tile_n, n_valid=n)
     out_d, out_i = pl.pallas_call(
@@ -197,6 +213,9 @@ def topk_pallas(
         scratch_shapes=[
             pltpu.VMEM((qp, k), jnp.float32),
             pltpu.VMEM((qp, k), jnp.int32),
+            pltpu.VMEM((qp, tile_n), jnp.float32),
+            pltpu.VMEM((qp, 2 * k), jnp.float32),
+            pltpu.VMEM((qp, 2 * k), jnp.int32),
         ],
         interpret=interpret,
     )(qf, norms, xf)

@@ -1,0 +1,34 @@
+"""Device-mesh helpers.
+
+All multi-chip layouts here are 1-D: the corpus axis ("data") is the only
+dimension worth sharding for an index-and-query engine (SURVEY.md §5 —
+there is no attention/sequence model; scale axes are corpus size N and
+descriptor count). Training reuses the same axis for data parallelism.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
+    """1-D mesh over the first ``n_devices`` devices (default: all)."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), axis_names=(axis,))
+
+
+def shard_rows(x, mesh: Mesh, axis: str = "data"):
+    """Place (N, ...) array row-sharded over the mesh axis. N must be
+    divisible by the mesh size (pad first — see index/store.py)."""
+    spec = P(axis, *([None] * (x.ndim - 1)))
+    return jax.device_put(x, NamedSharding(mesh, spec))
+
+
+def replicate(x, mesh: Mesh):
+    return jax.device_put(x, NamedSharding(mesh, P()))

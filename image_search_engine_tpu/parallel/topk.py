@@ -1,0 +1,110 @@
+"""Distributed exact top-k over an ICI-sharded vector store.
+
+The multi-chip equivalent of Faiss's sharded-index search (the reference is
+single-process CPU Faiss; this is the BASELINE.json-mandated scale-out):
+each device scans its (N/S, d) store shard with the fused local kernel,
+then the (k, dist, global-id) candidate tuples ride ICI via ``all_gather``
+and every device merges the S*k candidates with one small ``top_k``.
+
+Padding protocol: the store is padded to a multiple of the mesh size with
+zero rows whose cached "norm" is poisoned to +BIG (see index/store.py), so
+pad rows can never win a min — validity is carried in data, not in code,
+which keeps one compiled program for every shard.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+PAD_NORM = 1e30  # poisoned squared-norm marking padded store rows
+
+
+def local_topk_with_norms(
+    q: jnp.ndarray,
+    x: jnp.ndarray,
+    norms: jnp.ndarray,
+    k: int,
+    metric: str,
+    use_pallas: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Single-shard exact top-k honoring poisoned pad norms.
+
+    Returns distances in the metric's natural sign (l2 ascending,
+    ip descending) and local row indices.
+    """
+    if use_pallas:
+        from image_search_engine_tpu.ops.topk_pallas import topk_pallas
+
+        return topk_pallas(q, x, k, metric, x_norms=norms)
+    cross = jnp.dot(q, x.T, preferred_element_type=jnp.float32)
+    if metric == "l2":
+        qn = jnp.sum(q * q, axis=1, keepdims=True)
+        s = norms[None, :] - 2.0 * cross  # pad rows -> +BIG
+        vals, idx = jax.lax.top_k(-s, k)
+        return jnp.maximum(-vals + qn, 0.0), idx
+    elif metric == "ip":
+        # norms carry real squared norms for valid rows; only the pad
+        # poisoning matters for IP scoring.
+        penalty = jnp.where(norms >= PAD_NORM / 2, PAD_NORM, 0.0)
+        s = cross - penalty[None, :]  # pad rows -> -BIG
+        vals, idx = jax.lax.top_k(s, k)
+        return vals, idx
+    raise ValueError(f"unsupported metric {metric!r} (cosine: normalize first)")
+
+
+def distributed_topk(
+    q: jnp.ndarray,
+    x_sharded: jnp.ndarray,
+    norms_sharded: jnp.ndarray,
+    k: int,
+    metric: str,
+    mesh: Mesh,
+    axis: str = "data",
+    use_pallas: Optional[bool] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact k-NN over a row-sharded store.
+
+    Args:
+      q: (Q, d) queries (replicated).
+      x_sharded: (Npad, d) store, row-sharded over ``axis``; Npad divisible
+        by the mesh size.
+      norms_sharded: (Npad,) squared norms, PAD_NORM at padded rows.
+      k: neighbors.
+      metric: "l2" | "ip" (cosine: pre-normalize rows and use "ip").
+      mesh: 1-D device mesh.
+      use_pallas: fused kernel per shard (default: on TPU only).
+    Returns:
+      (distances (Q, k), global indices (Q, k)) replicated on all devices.
+    """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    n_shards = mesh.shape[axis]
+    rows_per_shard = x_sharded.shape[0] // n_shards
+    descending = metric == "ip"
+
+    def shard_fn(qr, x_local, norms_local):
+        base = jax.lax.axis_index(axis) * rows_per_shard
+        d, i = local_topk_with_norms(qr, x_local, norms_local, k, metric, use_pallas)
+        i = i + base
+        d_all = jax.lax.all_gather(d, axis)  # (S, Q, k)
+        i_all = jax.lax.all_gather(i, axis)
+        d_cat = jnp.swapaxes(d_all, 0, 1).reshape(qr.shape[0], -1)  # (Q, S*k)
+        i_cat = jnp.swapaxes(i_all, 0, 1).reshape(qr.shape[0], -1)
+        s = d_cat if descending else -d_cat
+        vals, pos = jax.lax.top_k(s, k)
+        idx = jnp.take_along_axis(i_cat, pos, axis=1)
+        return (vals if descending else -vals), idx
+
+    f = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(axis, None), P(axis)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return f(q, x_sharded, norms_sharded)

@@ -1,0 +1,83 @@
+"""Histogram scatter + BM25/idf math vs NumPy/scipy golden references
+(reference: bag_of_visual_words.py:98-106, utils.py:100-219)."""
+
+import numpy as np
+
+from image_search_engine_tpu.ops.bm25 import OkapiBM25, bm25_transform, idf_fit
+from image_search_engine_tpu.ops.histogram import batched_histograms, codes_to_histograms
+
+
+def test_codes_to_histograms_matches_numpy(rng):
+    t, n, k = 1000, 7, 20
+    codes = rng.integers(0, k, t).astype(np.int32)
+    img = rng.integers(0, n, t).astype(np.int32)
+    got = np.asarray(codes_to_histograms(codes, img, n, k))
+    want = np.zeros((n, k), np.float32)
+    for c, i in zip(codes, img):
+        want[i, c] += 1
+    np.testing.assert_array_equal(got, want)
+
+
+def test_codes_to_histograms_respects_valid_mask(rng):
+    codes = np.array([0, 1, 2, 3], np.int32)
+    img = np.array([0, 0, 1, 1], np.int32)
+    valid = np.array([True, False, True, False])
+    got = np.asarray(codes_to_histograms(codes, img, 2, 4, valid))
+    want = np.zeros((2, 4), np.float32)
+    want[0, 0] = 1
+    want[1, 2] = 1
+    np.testing.assert_array_equal(got, want)
+
+
+def test_batched_histograms_matches_scatter(rng):
+    b, m, k = 5, 64, 16
+    codes = rng.integers(0, k, (b, m)).astype(np.int32)
+    valid = rng.random((b, m)) > 0.3
+    got = np.asarray(batched_histograms(codes, valid, k))
+    flat_codes = codes.reshape(-1)
+    flat_img = np.repeat(np.arange(b), m).astype(np.int32)
+    want = np.asarray(codes_to_histograms(flat_codes, flat_img, b, k, valid.reshape(-1)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_idf_matches_reference_formula(rng):
+    hist = (rng.random((30, 12)) > 0.6).astype(np.float32) * rng.integers(1, 5, (30, 12))
+    got = np.asarray(idf_fit(hist))
+    df = (hist > 0).sum(0)
+    want = np.log((30 - df + 0.5) / (df + 0.5))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_bm25_matches_reference_formula(rng):
+    # golden reimplementation of utils.py:173-200 on dense arrays
+    k1, k2, b = 1.0, 1.0, 0.75
+    x = (rng.random((8, 10)) > 0.4) * rng.integers(1, 9, (8, 10)).astype(np.float64)
+    dl = x.sum(1, keepdims=True)
+    avgdl = dl.mean()
+    want = np.where(x > 0, k1 * x / (k1 * x + k2 * (1 - b + b * dl / avgdl)), 0.0)
+    got = np.asarray(bm25_transform(x.astype(np.float32), k1, k2, b))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_bm25_single_row_query_degenerates_to_dl_ratio_one(rng):
+    # reference quirk: avgdl computed per batch -> single-row dl/avgdl == 1
+    x = rng.integers(0, 6, (1, 15)).astype(np.float32)
+    got = np.asarray(bm25_transform(x))
+    want = np.where(x > 0, x / (x + 1.0), 0.0)
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_okapi_facade_fit_transform(rng):
+    x = (rng.random((20, 8)) > 0.5) * rng.integers(1, 4, (20, 8)).astype(np.float32)
+    tr = OkapiBM25().fit(x)
+    assert tr.idf_ is not None and tr.idf_.shape == (8,)
+    out = tr.transform(x)
+    assert out.shape == x.shape
+    assert (out >= 0).all() and (out <= 1).all()
+    # train-avgdl mode reuses the corpus statistic for 1-row queries
+    tr2 = OkapiBM25(use_train_avgdl=True).fit(x)
+    q = x[:1]
+    out_batch = tr2.transform(q)
+    dl = q.sum()
+    want = np.where(q > 0, q / (q + (1 - 0.75 + 0.75 * dl / tr2.avgdl_)), 0.0)
+    np.testing.assert_allclose(out_batch, want, rtol=1e-4)

@@ -1,0 +1,75 @@
+"""FlatIndex (single-device and 8-way sharded) vs NumPy brute force."""
+
+import numpy as np
+import pytest
+
+from image_search_engine_tpu.index.flat import FlatIndex
+from image_search_engine_tpu.parallel.mesh import make_mesh
+
+from tests.test_distances import brute_topk
+
+
+@pytest.mark.parametrize("metric", ["l2", "ip", "cosine"])
+def test_flat_index_single_device(rng, metric):
+    x = rng.standard_normal((257, 32)).astype(np.float32)
+    q = rng.standard_normal((5, 32)).astype(np.float32)
+    idx = FlatIndex(metric).add(x)
+    d, i = idx.search(q, 9)
+    bd, bi = brute_topk(q, x, 9, metric)
+    np.testing.assert_array_equal(i, bi)
+    np.testing.assert_allclose(d, bd, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("metric", ["l2", "ip", "cosine"])
+def test_flat_index_sharded_8dev(rng, metric):
+    mesh = make_mesh(8)
+    # 203 rows: not divisible by 8 -> exercises pad-row poisoning
+    x = rng.standard_normal((203, 24)).astype(np.float32)
+    q = rng.standard_normal((6, 24)).astype(np.float32)
+    idx = FlatIndex(metric, mesh=mesh).add(x)
+    d, i = idx.search(q, 11)
+    assert i.max() < 203, "padding row leaked into results"
+    bd, bi = brute_topk(q, x, 11, metric)
+    np.testing.assert_array_equal(i, bi)
+    np.testing.assert_allclose(d, bd, rtol=1e-4, atol=1e-4)
+
+
+def test_flat_index_sharded_matches_unsharded(rng):
+    mesh = make_mesh(8)
+    x = rng.standard_normal((512, 16)).astype(np.float32)
+    q = rng.standard_normal((3, 16)).astype(np.float32)
+    d1, i1 = FlatIndex("l2").add(x).search(q, 5)
+    d2, i2 = FlatIndex("l2", mesh=mesh).add(x).search(q, 5)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(d1, d2, rtol=1e-4, atol=1e-4)
+
+
+def test_flat_index_save_load_roundtrip(rng, tmp_path):
+    x = rng.standard_normal((50, 8)).astype(np.float32)
+    q = rng.standard_normal((2, 8)).astype(np.float32)
+    idx = FlatIndex("cosine").add(x)
+    p = tmp_path / "flat.npz"
+    idx.save(p)
+    idx2 = FlatIndex.load(p)
+    d1, i1 = idx.search(q, 4)
+    d2, i2 = idx2.search(q, 4)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(d1, d2, rtol=1e-5)
+
+
+def test_flat_index_incremental_add(rng):
+    x1 = rng.standard_normal((30, 8)).astype(np.float32)
+    x2 = rng.standard_normal((20, 8)).astype(np.float32)
+    idx = FlatIndex("l2").add(x1).add(x2)
+    assert idx.ntotal == 50
+    q = x2[:1]
+    d, i = idx.search(q, 1)
+    assert i[0, 0] == 30  # first row of the second batch
+    assert d[0, 0] < 1e-6
+
+
+def test_flat_index_k_larger_than_corpus(rng):
+    x = rng.standard_normal((5, 4)).astype(np.float32)
+    idx = FlatIndex("l2").add(x)
+    d, i = idx.search(x[:1], 5)
+    assert i.shape == (1, 5)
