@@ -1,0 +1,199 @@
+"""Descriptor facade: one batched interface over every feature family.
+
+The reference's ``SupportsDescribe`` protocol + ``Describer`` fan-out +
+``describe_dataset`` threading (backend/descriptors.py:24-139) reshaped for
+TPU: a descriptor consumes a *batch* of images and returns fixed-shape
+arrays, datasets stream through in batches (decode threads on host, one
+jitted program on device), and the corner-description cache is a plain
+``.npz`` (reference cached via joblib, descriptors.py:112-114).
+
+Set-type descriptors (corner/DAISY/color) return (B, K, D) + validity mask
+(the reference's variable-length per-image lists, made static). Global
+descriptors (CNN/HOG/dHash) return (B, D).
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+from typing import Optional, Protocol, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from image_search_engine_tpu.config import Config, CornerDescriptorKind
+from image_search_engine_tpu.ops import corners as corner_ops
+from image_search_engine_tpu.ops.daisy import daisy
+from image_search_engine_tpu.ops.dhash import dhash_bits
+from image_search_engine_tpu.ops.hog import hog
+from image_search_engine_tpu.ops.image_ops import (
+    five_region_masks,
+    hsv_histogram_3d,
+    rgb_to_gray,
+    rgb_to_hsv,
+)
+from image_search_engine_tpu.utils.imageio import load_images_batched
+
+log = logging.getLogger(__name__)
+
+
+class SupportsDescribeBatch(Protocol):
+    """Batched descriptor protocol (reference SupportsDescribe,
+    descriptors.py:24-25, one image -> here one batch)."""
+
+    is_set: bool  # True: (B, K, D) + valid; False: (B, D)
+
+    def describe_batch(self, images: np.ndarray) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+        ...
+
+
+class CornerDescriptor:
+    """ORB/SIFT/BRISK-style keypoint descriptors (reference
+    CornerDescriptorFactory + CornerDescriptor, descriptors.py:31-44,
+    207-236), fixed-K masked."""
+
+    is_set = True
+
+    def __init__(self, kind: str | CornerDescriptorKind = "orb", max_keypoints: int = 256):
+        self.kind = kind.value if isinstance(kind, CornerDescriptorKind) else kind
+        self.max_keypoints = max_keypoints
+
+    def describe_batch(self, images):
+        gray = rgb_to_gray(jnp.asarray(images, jnp.float32))
+        d, valid = corner_ops.detect_and_describe(gray, self.kind, self.max_keypoints)
+        return np.asarray(d), np.asarray(valid)
+
+
+class DaisyDescriptor:
+    """Dense-grid DAISY (reference descriptors.py:238-254)."""
+
+    is_set = True
+
+    def __init__(self, step: int = 32, radius: int = 32, rings: int = 2,
+                 histograms: int = 8, orientations: int = 8):
+        self.kw = dict(step=step, radius=radius, rings=rings,
+                       histograms=histograms, orientations=orientations)
+
+    def describe_batch(self, images):
+        gray = rgb_to_gray(jnp.asarray(images, jnp.float32))
+        d = daisy(gray, **self.kw)
+        d = np.asarray(d)
+        valid = np.ones(d.shape[:2], bool)
+        return d, valid
+
+
+class HOGDescriptor:
+    """Whole-image HOG vector (reference descriptors.py:261-275)."""
+
+    is_set = False
+
+    def __init__(self, orientations: int = 9, cell_size: int = 32, block_size: int = 2):
+        self.kw = dict(orientations=orientations, cell_size=cell_size, block_size=block_size)
+
+    def describe_batch(self, images):
+        gray = rgb_to_gray(jnp.asarray(images, jnp.float32))
+        return np.asarray(hog(gray, **self.kw)), None
+
+
+class ColorDescriptor:
+    """5-region HSV histograms (reference descriptors.py:278-344):
+    4 corner regions minus center ellipse + the ellipse, 8x12x3 bins each."""
+
+    is_set = True
+
+    def __init__(self, bins=(8, 12, 3)):
+        self.bins = tuple(bins)
+
+    def describe_batch(self, images):
+        images = jnp.asarray(images, jnp.float32)
+        hsv = rgb_to_hsv(images)
+        h, w = images.shape[1:3]
+        masks = five_region_masks(h, w)  # (5, H, W)
+        out = []
+        for b in range(images.shape[0]):
+            regions = [hsv_histogram_3d(hsv[b], masks[m], self.bins) for m in range(5)]
+            out.append(jnp.stack(regions))
+        d = np.asarray(jnp.stack(out))  # (B, 5, prod(bins))
+        valid = np.ones(d.shape[:2], bool)
+        return d, valid
+
+
+class DHashDescriptor:
+    """64-bit difference hash as a 64-D bit vector (reference
+    descriptors.py:347-352; packing to ints lives in ops/dhash.py)."""
+
+    is_set = False
+
+    def describe_batch(self, images):
+        gray = rgb_to_gray(jnp.asarray(images, jnp.float32))
+        return np.asarray(dhash_bits(gray)).astype(np.float32), None
+
+
+class CNNDescriptorAdapter:
+    """CNN embeddings via models/embedder.py (reference CNNDescriptor,
+    descriptors.py:142-204 — there batch-1, here truly batched)."""
+
+    is_set = False
+
+    def __init__(self, embedder):
+        self.embedder = embedder
+
+    def describe_batch(self, images):
+        return self.embedder.embed_batch(images), None
+
+
+def make_descriptor(cfg: Config, embedder=None) -> SupportsDescribeBatch:
+    """Descriptor factory driven by config (reference
+    CornerDescriptorFactory.get_descriptor + Method dispatch)."""
+    from image_search_engine_tpu.config import Method
+
+    if cfg.method == Method.DNN:
+        assert embedder is not None
+        return CNNDescriptorAdapter(embedder)
+    if cfg.method == Method.DHASH:
+        return DHashDescriptor()
+    kind = cfg.corner_descriptor
+    if kind == CornerDescriptorKind.DAISY:
+        return DaisyDescriptor()
+    return CornerDescriptor(kind, cfg.max_descriptors_per_image)
+
+
+def describe_dataset(
+    descriptor: SupportsDescribeBatch,
+    paths: Sequence[str | Path],
+    image_size: int = 224,
+    batch_size: int = 32,
+    cache_path: Optional[str | Path] = None,
+) -> Tuple[np.ndarray, Optional[np.ndarray], np.ndarray]:
+    """Describe a whole corpus (reference describe_dataset,
+    descriptors.py:104-139 — joblib threads replaced by a host decode pool
+    feeding one jitted device program).
+
+    Returns:
+      (features, valid_or_None, kept) where ``kept`` are the indices of
+      paths that decoded successfully (error-skip parity).
+    """
+    if cache_path is not None and Path(cache_path).exists():
+        z = np.load(cache_path, allow_pickle=False)
+        log.info("loaded cached descriptions from %s", cache_path)
+        valid = z["valid"] if "valid" in z.files else None
+        return z["features"], valid, z["kept"]
+
+    feats, valids, kept = [], [], []
+    for batch, idx in load_images_batched(paths, batch_size, (image_size, image_size)):
+        f, v = descriptor.describe_batch(batch)
+        feats.append(f)
+        kept.extend(idx)
+        if v is not None:
+            valids.append(v)
+    features = np.concatenate(feats) if feats else np.zeros((0,))
+    valid = np.concatenate(valids) if valids else None
+    kept = np.asarray(kept, np.int64)
+
+    if cache_path is not None:
+        Path(cache_path).parent.mkdir(parents=True, exist_ok=True)
+        payload = {"features": features, "kept": kept}
+        if valid is not None:
+            payload["valid"] = valid
+        np.savez_compressed(cache_path, **payload)
+    return features, valid, kept

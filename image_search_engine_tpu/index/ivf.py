@@ -1,0 +1,298 @@
+"""IVF ("cell-probe") and IVF-PQ indexes.
+
+Replaces the reference's ``faiss.IndexIVFPQ`` construction (backend/
+utils.py:311-325: IndexFlatL2 coarse quantizer, ncentroids=8, m=16
+subquantizers, 8 bits, nprobe=5) with a TPU-shaped design:
+
+  * coarse quantizer = the k-means trainer of ops/kmeans.py;
+  * inverted lists stored as a *padded rectangular* layout
+    (nlist, max_list) of row ids — TPU-static shapes instead of ragged
+    CPU lists (SURVEY.md hard part #4);
+  * IVF search: nprobe nearest centroids per query, gather the probed
+    lists' rows, fused distance + top-k over the candidate block;
+  * PQ variant: per-subspace 256-entry codebooks trained on coarse
+    residuals (Faiss's default by-residual semantics), ADC via a one-hot
+    einsum so the LUT lookups ride the MXU.
+
+Recall-parity is tested against exact flat search (tests/test_ivf.py), the
+BASELINE.json metric.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional, Tuple
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+
+from image_search_engine_tpu.ops.kmeans import KMeans, assign_jax
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _pad_results(d: np.ndarray, i: np.ndarray, k: int):
+    """Pad (Q, k_eff) results out to (Q, k) with inf/-1 (faiss semantics
+    when fewer than k candidates were probed)."""
+    if d.shape[1] >= k:
+        return d[:, :k], i[:, :k]
+    pad = k - d.shape[1]
+    d = np.pad(d, ((0, 0), (0, pad)), constant_values=np.inf)
+    i = np.pad(i, ((0, 0), (0, pad)), constant_values=-1)
+    return d, i
+
+
+@functools.partial(jax.jit, static_argnames=("k", "nprobe", "max_list"))
+def _ivf_search_kernel(
+    q, centroids, lists, list_valid, rows, k: int, nprobe: int, max_list: int
+):
+    """Batched IVF scan: probe lists -> gather -> distance -> top-k.
+
+    q: (Q, d); centroids: (nlist, d); lists: (nlist, max_list) int32 row ids
+    into ``rows``; list_valid: (nlist, max_list) bool; rows: (N, d).
+    Returns (dist (Q, k) ascending, row ids (Q, k), pad mask).
+    """
+    # nearest nprobe centroids per query
+    cn = jnp.sum(centroids * centroids, axis=1)
+    cd = cn[None, :] - 2.0 * jnp.dot(q, centroids.T, preferred_element_type=jnp.float32)
+    _, probe = jax.lax.top_k(-cd, nprobe)  # (Q, nprobe)
+
+    cand = lists[probe].reshape(q.shape[0], nprobe * max_list)  # (Q, C)
+    cand_valid = list_valid[probe].reshape(q.shape[0], nprobe * max_list)
+    vecs = rows[jnp.maximum(cand, 0)]  # (Q, C, d)
+
+    qn = jnp.sum(q * q, axis=1, keepdims=True)
+    vn = jnp.sum(vecs * vecs, axis=2)
+    cross = jnp.einsum("qd,qcd->qc", q, vecs, preferred_element_type=jnp.float32)
+    dist = qn - 2.0 * cross + vn
+    dist = jnp.where(cand_valid, dist, jnp.inf)
+
+    vals, pos = jax.lax.top_k(-dist, k)
+    ids = jnp.take_along_axis(cand, pos, axis=1)
+    ok = jnp.take_along_axis(cand_valid, pos, axis=1)
+    return -vals, ids, ok
+
+
+class IVFIndex:
+    """Cell-probe index: coarse k-means partition + probed exact scan."""
+
+    metric_kind = "ivf"
+
+    def __init__(
+        self,
+        metric: str = "l2",
+        nlist: int = 8,
+        nprobe: int = 5,
+        mesh: Optional[Mesh] = None,
+        seed: int = 42,
+    ):
+        if metric not in ("l2", "cosine"):
+            raise ValueError("IVFIndex supports l2/cosine")
+        self.metric = metric
+        self.nlist = nlist
+        self.nprobe = min(nprobe, nlist)
+        self.mesh = mesh  # reserved: per-shard lists (round 2)
+        self.seed = seed
+        self.centroids: Optional[np.ndarray] = None
+        self.vectors: Optional[np.ndarray] = None
+        self.lists: Optional[np.ndarray] = None
+        self.list_valid: Optional[np.ndarray] = None
+
+    @property
+    def ntotal(self) -> int:
+        return 0 if self.vectors is None else self.vectors.shape[0]
+
+    def _prep(self, x: np.ndarray) -> np.ndarray:
+        x = np.asarray(x, np.float32)
+        if self.metric == "cosine":
+            x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        return x
+
+    def add(self, x: np.ndarray) -> "IVFIndex":
+        """Train the coarse quantizer and build the padded inverted lists
+        (faiss: index.train + index.add, utils.py:322-329)."""
+        x = self._prep(x)
+        if self.vectors is not None:
+            x = np.concatenate([self.vectors, x])
+        self.vectors = x
+        n = x.shape[0]
+
+        km = KMeans(n_clusters=self.nlist, niter=25, nredo=1, seed=self.seed,
+                    spherical=False).fit(x)
+        self.centroids = km.cluster_centers_
+        codes = km.transform(x)[:, 0]
+
+        counts = np.bincount(codes, minlength=self.nlist)
+        max_list = _round_up(max(int(counts.max()), 1), 8)
+        lists = np.full((self.nlist, max_list), -1, np.int32)
+        fill = np.zeros(self.nlist, np.int64)
+        for row, c in enumerate(codes):
+            lists[c, fill[c]] = row
+            fill[c] += 1
+        self.lists = lists
+        self.list_valid = lists >= 0
+        return self
+
+    def search(self, q: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+        assert self.vectors is not None, "add() first"
+        q = self._prep(np.atleast_2d(np.asarray(q, np.float32)))
+        # probed candidate pool can be smaller than k
+        k_eff = min(k, self.ntotal, self.nprobe * self.lists.shape[1])
+        d, i, ok = _ivf_search_kernel(
+            jnp.asarray(q), jnp.asarray(self.centroids), jnp.asarray(self.lists),
+            jnp.asarray(self.list_valid), jnp.asarray(self.vectors),
+            k_eff, self.nprobe, self.lists.shape[1],
+        )
+        d, i, ok = np.array(d), np.array(i), np.array(ok)
+        i[~ok] = -1  # faiss returns -1 when probes hold < k candidates
+        return _pad_results(d, i, k)
+
+    def save(self, path: str | Path) -> None:
+        np.savez_compressed(
+            path, vectors=self.vectors, centroids=self.centroids,
+            lists=self.lists, metric=np.array(self.metric),
+            nprobe=np.int64(self.nprobe), kind=np.array(self.metric_kind),
+        )
+
+    @classmethod
+    def load(cls, path: str | Path, mesh: Optional[Mesh] = None) -> "IVFIndex":
+        z = np.load(path, allow_pickle=False)
+        self = cls(metric=str(z["metric"]), nlist=z["centroids"].shape[0],
+                   nprobe=int(z["nprobe"]), mesh=mesh)
+        self.vectors = z["vectors"]
+        self.centroids = z["centroids"]
+        self.lists = z["lists"]
+        self.list_valid = self.lists >= 0
+        return self
+
+
+@functools.partial(jax.jit, static_argnames=("k", "nprobe", "max_list", "m"))
+def _ivfpq_search_kernel(
+    q, centroids, lists, list_valid, codes, pq_books,
+    k: int, nprobe: int, max_list: int, m: int,
+):
+    """ADC scan: LUT of query-residual-to-codeword distances, summed per
+    candidate via one-hot einsum (MXU-friendly LUT lookup).
+
+    codes: (N, m) int32; pq_books: (m, 256, dsub).
+    """
+    qn_, d = q.shape
+    dsub = d // m
+    cn = jnp.sum(centroids * centroids, axis=1)
+    cd = cn[None, :] - 2.0 * jnp.dot(q, centroids.T, preferred_element_type=jnp.float32)
+    _, probe = jax.lax.top_k(-cd, nprobe)  # (Q, nprobe)
+
+    # scan probes one at a time: residuals differ per coarse cell
+    def per_probe(p):
+        cent = centroids[probe[:, p]]  # (Q, d)
+        resid = (q - cent).reshape(qn_, m, dsub)  # (Q, m, dsub)
+        # LUT[q, m, 256] = ||resid - book||^2
+        lut = (
+            jnp.sum(resid * resid, axis=2)[:, :, None]
+            - 2.0 * jnp.einsum("qmd,mkd->qmk", resid, pq_books,
+                               preferred_element_type=jnp.float32)
+            + jnp.sum(pq_books * pq_books, axis=2)[None]
+        )  # (Q, m, 256)
+        cand = lists[probe[:, p]]  # (Q, max_list)
+        valid = list_valid[probe[:, p]]
+        ccodes = codes[jnp.maximum(cand, 0)]  # (Q, max_list, m)
+        one_hot = jax.nn.one_hot(ccodes, 256, dtype=jnp.float32)  # (Q, L, m, 256)
+        dist = jnp.einsum("qlmk,qmk->ql", one_hot, lut,
+                          preferred_element_type=jnp.float32)
+        dist = jnp.where(valid, dist, jnp.inf)
+        return dist, cand, valid
+
+    dists, cands, valids = [], [], []
+    for p in range(nprobe):
+        dd, cc, vv = per_probe(p)
+        dists.append(dd)
+        cands.append(cc)
+        valids.append(vv)
+    dist = jnp.concatenate(dists, axis=1)
+    cand = jnp.concatenate(cands, axis=1)
+    valid = jnp.concatenate(valids, axis=1)
+    vals, pos = jax.lax.top_k(-dist, k)
+    ids = jnp.take_along_axis(cand, pos, axis=1)
+    ok = jnp.take_along_axis(valid, pos, axis=1)
+    return -vals, ids, ok
+
+
+class IVFPQIndex(IVFIndex):
+    """IVF + product quantization (the reference's actual "cell-probe"
+    index, utils.py:311-325): m sub-quantizers x 8 bits, residual-encoded.
+    Compressed storage: N*m bytes instead of N*d*4."""
+
+    metric_kind = "ivfpq"
+
+    def __init__(self, metric: str = "l2", nlist: int = 8, nprobe: int = 5,
+                 m: int = 16, mesh: Optional[Mesh] = None, seed: int = 42):
+        super().__init__(metric=metric, nlist=nlist, nprobe=nprobe, mesh=mesh, seed=seed)
+        self.m = m
+        self.pq_books: Optional[np.ndarray] = None  # (m, 256, dsub)
+        self.codes: Optional[np.ndarray] = None  # (N, m) uint8
+
+    def add(self, x: np.ndarray) -> "IVFPQIndex":
+        super().add(x)  # coarse quantizer + lists (keeps raw vectors for recall tests)
+        x = self.vectors
+        n, d = x.shape
+        if d % self.m:
+            raise ValueError(f"dim {d} not divisible by m={self.m}")
+        dsub = d // self.m
+        cell = self.centroids[self._assign_cells(x)]
+        resid = (x - cell).reshape(n, self.m, dsub)
+        books, codes = [], []
+        for j in range(self.m):
+            ksub = min(256, max(2, n))
+            km = KMeans(n_clusters=ksub, niter=20, nredo=1, seed=self.seed + j,
+                        spherical=False).fit(resid[:, j])
+            book = np.zeros((256, dsub), np.float32)
+            book[:ksub] = km.cluster_centers_
+            books.append(book)
+            codes.append(km.transform(resid[:, j])[:, 0].astype(np.uint8))
+        self.pq_books = np.stack(books)
+        self.codes = np.stack(codes, axis=1)
+        return self
+
+    def _assign_cells(self, x) -> np.ndarray:
+        codes, _ = assign_jax(jnp.asarray(x), jnp.asarray(self.centroids))
+        return np.asarray(codes)
+
+    def search(self, q: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+        assert self.codes is not None, "add() first"
+        q = self._prep(np.atleast_2d(np.asarray(q, np.float32)))
+        k_eff = min(k, self.ntotal, self.nprobe * self.lists.shape[1])
+        d, i, ok = _ivfpq_search_kernel(
+            jnp.asarray(q), jnp.asarray(self.centroids), jnp.asarray(self.lists),
+            jnp.asarray(self.list_valid), jnp.asarray(self.codes.astype(np.int32)),
+            jnp.asarray(self.pq_books),
+            k_eff, self.nprobe, self.lists.shape[1], self.m,
+        )
+        d, i, ok = np.array(d), np.array(i), np.array(ok)
+        i[~ok] = -1
+        return _pad_results(d, i, k)
+
+    def save(self, path: str | Path) -> None:
+        np.savez_compressed(
+            path, vectors=self.vectors, centroids=self.centroids, lists=self.lists,
+            metric=np.array(self.metric), nprobe=np.int64(self.nprobe),
+            kind=np.array(self.metric_kind), pq_books=self.pq_books, codes=self.codes,
+        )
+
+    @classmethod
+    def load(cls, path: str | Path, mesh: Optional[Mesh] = None) -> "IVFPQIndex":
+        z = np.load(path, allow_pickle=False)
+        self = cls(metric=str(z["metric"]), nlist=z["centroids"].shape[0],
+                   nprobe=int(z["nprobe"]), m=z["codes"].shape[1], mesh=mesh)
+        self.vectors = z["vectors"]
+        self.centroids = z["centroids"]
+        self.lists = z["lists"]
+        self.list_valid = self.lists >= 0
+        self.pq_books = z["pq_books"]
+        self.codes = z["codes"]
+        return self

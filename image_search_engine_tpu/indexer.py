@@ -1,0 +1,154 @@
+"""Offline indexer CLI: corpus images -> on-disk index artifacts.
+
+The reference's ``python indexer.py`` (backend/indexer.py:27-64) with real
+CLI flags instead of config-file editing. Per method:
+
+  * DNN   -> batched CNN embeddings -> FlatIndex (l2/ip/cosine) on disk
+             (reference indexer.py:51-59, one-image-at-a-time -> batched);
+  * BOVW  -> corner/DAISY descriptors -> k-means codebook -> BM25-weighted
+             histograms -> FlatIndex(cosine) (reference indexer.py:33-37 +
+             train_bovw_model, bag_of_visual_words.py:137-204);
+  * DHASH -> 64-bit difference hashes -> bit-matrix store
+             (reference indexer.py:39-49 pickled a hash->paths dict).
+
+Artifacts: index ``.npz``, pipeline/codebook ``.npz``, ``images.csv``
+id->path sidecar, optional cached descriptions.
+
+Usage:
+    python -m image_search_engine_tpu.indexer --data-dir photos/ --method dnn
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import time
+from pathlib import Path
+
+import numpy as np
+
+from image_search_engine_tpu.config import Config, CornerDescriptorKind, IndexType, Method
+from image_search_engine_tpu.descriptors import describe_dataset, make_descriptor
+from image_search_engine_tpu.index.flat import FlatIndex
+from image_search_engine_tpu.utils.imageio import get_image_paths, save_paths_csv
+
+log = logging.getLogger(__name__)
+
+
+def build_dnn_index(cfg: Config, paths, mesh=None) -> None:
+    from image_search_engine_tpu.models.embedder import CNNEmbedder
+
+    embedder = CNNEmbedder(
+        cfg.dnn_model.value, image_size=cfg.resize_size,
+        batch_size=cfg.embed_batch_size, mesh=mesh,
+    )
+    desc = make_descriptor(cfg, embedder)
+    feats, _, kept = describe_dataset(
+        desc, paths, image_size=cfg.resize_size, batch_size=cfg.embed_batch_size
+    )
+    metric = {"cosine": "cosine", "l2": "l2", "cell-probe": "l2", "ivfpq": "l2"}[
+        cfg.index_type.value
+    ]
+    if cfg.index_type in (IndexType.CELL_PROBE, IndexType.IVFPQ):
+        from image_search_engine_tpu.index.ivf import IVFIndex
+
+        index = IVFIndex(
+            metric=metric, nlist=cfg.ivf_nlist, nprobe=cfg.ivf_nprobe, mesh=mesh
+        ).add(feats)
+    else:
+        index = FlatIndex(metric, mesh=mesh).add(feats)
+    index.save(cfg.dnn_index_path)
+    save_paths_csv([paths[i] for i in kept], cfg.paths_file)
+    log.info("DNN index: %d vectors (%d-D) -> %s", len(kept), feats.shape[1], cfg.dnn_index_path)
+
+
+def build_bovw_index(cfg: Config, paths, mesh=None) -> None:
+    from image_search_engine_tpu.bovw.pipeline import BoVWPipeline, sweep_num_clusters
+
+    desc = make_descriptor(cfg)
+    cache = cfg.artifacts_dir / f"descriptions_{cfg.corner_descriptor.value}.npz"
+    feats, valid, kept = describe_dataset(
+        desc, paths, image_size=cfg.resize_size, batch_size=32, cache_path=cache
+    )
+
+    n_clusters = cfg.num_clusters
+    if cfg.use_cluster_grid_search:
+        candidates = np.unique(
+            np.linspace(cfg.min_num_clusters, cfg.max_num_clusters,
+                        cfg.num_cluster_grid_points, dtype=int)
+        )
+        n_clusters, scores = sweep_num_clusters(
+            feats, valid, candidates,
+            sample_size=cfg.cluster_score_sample_size, repeats=cfg.cluster_score_repeats,
+        )
+        log.info("cluster sweep %s -> best k=%d", scores, n_clusters)
+
+    pipeline = BoVWPipeline(
+        n_clusters=n_clusters, kmeans_niter=cfg.kmeans_niter,
+        kmeans_nredo=cfg.kmeans_nredo, kmeans_seed=cfg.kmeans_seed,
+        spherical=cfg.kmeans_spherical,
+        bm25_k1=cfg.bm25_k1, bm25_k2=cfg.bm25_k2, bm25_b=cfg.bm25_b,
+    )
+    hists = pipeline.fit_transform(feats, valid)
+    pipeline.save(cfg.bovw_pipeline_path)
+
+    metric = "cosine" if cfg.index_type == IndexType.COSINE else "l2"
+    index = FlatIndex(metric, mesh=mesh).add(hists)
+    index.save(cfg.bovw_index_path)
+    save_paths_csv([paths[i] for i in kept], cfg.paths_file)
+    log.info("BoVW index: %d images, k=%d -> %s", len(kept), n_clusters, cfg.bovw_index_path)
+
+
+def build_dhash_index(cfg: Config, paths) -> None:
+    from image_search_engine_tpu.descriptors import DHashDescriptor, describe_dataset as dd
+
+    feats, _, kept = dd(DHashDescriptor(), paths, image_size=cfg.resize_size, batch_size=64)
+    np.savez_compressed(cfg.dhash_store_path, bits=feats.astype(bool))
+    save_paths_csv([paths[i] for i in kept], cfg.paths_file)
+    log.info("dHash store: %d hashes -> %s", len(kept), cfg.dhash_store_path)
+
+
+def main(cfg: Config, mesh=None) -> None:
+    t0 = time.time()
+    cfg.artifacts_dir.mkdir(parents=True, exist_ok=True)
+    paths = get_image_paths(cfg.data_dir)
+    if not paths:
+        raise SystemExit(f"no images found under {cfg.data_dir}")
+    log.info("indexing %d images with method=%s", len(paths), cfg.method.value)
+    if cfg.method == Method.DNN:
+        build_dnn_index(cfg, paths, mesh)
+    elif cfg.method == Method.BOVW:
+        build_bovw_index(cfg, paths, mesh)
+    elif cfg.method == Method.DHASH:
+        build_dhash_index(cfg, paths)
+    log.info("index build finished in %.1fs", time.time() - t0)
+
+
+def parse_args(argv=None) -> Config:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--data-dir", type=Path, required=True)
+    ap.add_argument("--artifacts-dir", type=Path, default=Path("artifacts"))
+    ap.add_argument("--method", choices=[m.value for m in Method], default="dnn")
+    ap.add_argument("--index-type", choices=[t.value for t in IndexType], default="l2")
+    ap.add_argument("--dnn-model", default="resnet50")
+    ap.add_argument("--corner-descriptor",
+                    choices=[c.value for c in CornerDescriptorKind], default="daisy")
+    ap.add_argument("--num-clusters", type=int, default=200)
+    ap.add_argument("--cluster-grid-search", action="store_true")
+    ap.add_argument("--batch-size", type=int, default=64)
+    a = ap.parse_args(argv)
+    from image_search_engine_tpu.config import DnnModel
+
+    return Config(
+        data_dir=a.data_dir, artifacts_dir=a.artifacts_dir,
+        method=Method(a.method), index_type=IndexType(a.index_type),
+        dnn_model=DnnModel(a.dnn_model),
+        corner_descriptor=CornerDescriptorKind(a.corner_descriptor),
+        num_clusters=a.num_clusters, use_cluster_grid_search=a.cluster_grid_search,
+        embed_batch_size=a.batch_size,
+    )
+
+
+if __name__ == "__main__":
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s %(message)s")
+    main(parse_args())

@@ -1,0 +1,135 @@
+"""Host-side image IO.
+
+Replaces the reference's cv2.imread / cv2.imdecode / PIL thumbnail plumbing
+(backend/descriptors.py:65, backend/engine.py:38-43, backend/utils.py:44-62).
+Decode happens on host (PIL, or the C++ loader in native/ when built — see
+utils/native_loader.py); everything downstream is device arrays. A thread
+pool overlaps decode with TPU compute, replacing the reference's joblib
+threading (descriptors.py:125-129).
+"""
+
+from __future__ import annotations
+
+import base64
+import concurrent.futures as cf
+import io
+import logging
+from pathlib import Path
+from typing import Iterable, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+from PIL import Image
+
+log = logging.getLogger(__name__)
+
+IMAGE_EXTENSIONS = ("*.jpg", "*.jpeg", "*.png")  # reference config.py:36
+
+
+def get_image_paths(folder: str | Path, extensions: Sequence[str] = IMAGE_EXTENSIONS) -> List[Path]:
+    """Recursive glob for corpus images (reference get_images_paths,
+    backend/utils.py:222-232), sorted for a deterministic id order."""
+    folder = Path(folder)
+    paths: List[Path] = []
+    for ext in extensions:
+        paths.extend(folder.rglob(ext))
+        paths.extend(folder.rglob(ext.upper()))
+    return sorted(set(paths))
+
+
+def load_image(path: str | Path, size: Optional[Tuple[int, int]] = None) -> np.ndarray:
+    """Decode one image to RGB float32 [0,1]; optional (H, W) host resize
+    (cheap PIL bilinear — the quality-critical resize happens on device)."""
+    with Image.open(path) as im:
+        im = im.convert("RGB")
+        if size is not None:
+            im = im.resize((size[1], size[0]), Image.BILINEAR)
+        return np.asarray(im, np.float32) / 255.0
+
+
+def decode_image_bytes(data: bytes, size: Optional[Tuple[int, int]] = None) -> np.ndarray:
+    """Decode an uploaded image buffer (reference formdata_file_to_image,
+    engine.py:38-43) to RGB float32 [0,1]."""
+    with Image.open(io.BytesIO(data)) as im:
+        im = im.convert("RGB")
+        if size is not None:
+            im = im.resize((size[1], size[0]), Image.BILINEAR)
+        return np.asarray(im, np.float32) / 255.0
+
+
+def load_images_batched(
+    paths: Sequence[str | Path],
+    batch_size: int,
+    size: Tuple[int, int],
+    num_workers: int = 8,
+    skip_errors: bool = True,
+) -> Iterator[Tuple[np.ndarray, List[int]]]:
+    """Yield (batch (B, H, W, 3) f32, kept source indices).
+
+    Decoding runs in a thread pool that stays ahead of the consumer;
+    unreadable files are skipped with a warning (the reference's per-image
+    try/except skip, descriptors.py:81-96).
+    """
+    paths = list(paths)
+
+    def _load(i: int):
+        try:
+            return i, load_image(paths[i], size)
+        except Exception as e:  # noqa: BLE001 — any decode failure skips the file
+            if not skip_errors:
+                raise
+            log.warning("skipping unreadable image %s: %s", paths[i], e)
+            return i, None
+
+    with cf.ThreadPoolExecutor(num_workers) as pool:
+        buf_imgs: List[np.ndarray] = []
+        buf_idx: List[int] = []
+        for i, img in pool.map(_load, range(len(paths))):
+            if img is None:
+                continue
+            buf_imgs.append(img)
+            buf_idx.append(i)
+            if len(buf_imgs) == batch_size:
+                yield np.stack(buf_imgs), buf_idx
+                buf_imgs, buf_idx = [], []
+        if buf_imgs:
+            yield np.stack(buf_imgs), buf_idx
+
+
+def thumbnail_b64(path: str | Path, max_size: int = 256) -> str:
+    """<=max_size thumbnail as base64 JPEG (PNG fallback for alpha), the
+    reference's get_image (backend/utils.py:44-62)."""
+    with Image.open(path) as im:
+        im.thumbnail((max_size, max_size))
+        buf = io.BytesIO()
+        try:
+            im.convert("RGB").save(buf, format="JPEG", quality=85)
+        except OSError:
+            im.save(buf, format="PNG")
+        return base64.b64encode(buf.getvalue()).decode("ascii")
+
+
+def save_paths_csv(paths: Sequence[str | Path], out: str | Path) -> None:
+    """id -> path sidecar (reference save_images_df, siamese/utils.py:57-70)."""
+    out = Path(out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    with open(out, "w") as f:
+        f.write("id,path\n")
+        for i, p in enumerate(paths):
+            f.write(f"{i},{p}\n")
+
+
+def load_paths_csv(src: str | Path) -> List[str]:
+    lines = Path(src).read_text().splitlines()[1:]
+    return [ln.split(",", 1)[1] for ln in lines if ln]
+
+
+def chunk_evenly(seq: Sequence, n: int) -> List[Sequence]:
+    """Split into n near-equal chunks (reference chunkIt, utils.py:29-41)."""
+    n = max(1, min(n, len(seq)))
+    avg = len(seq) / n
+    out = []
+    last = 0.0
+    while last < len(seq):
+        out.append(seq[int(last) : int(last + avg)])
+        last += avg
+    return out

@@ -1,0 +1,82 @@
+"""IVF / IVF-PQ indexes: recall parity vs exact flat search (the
+BASELINE.json metric; reference index built at backend/utils.py:311-325)."""
+
+import numpy as np
+import pytest
+
+from image_search_engine_tpu.index.flat import FlatIndex
+from image_search_engine_tpu.index.ivf import IVFIndex, IVFPQIndex
+
+
+def recall_at_k(got_ids, true_ids):
+    hits = 0
+    for g, t in zip(got_ids, true_ids):
+        hits += len(set(g.tolist()) & set(t.tolist()))
+    return hits / true_ids.size
+
+
+@pytest.fixture
+def corpus(rng):
+    # clusterable data so IVF partitions meaningfully
+    centers = rng.standard_normal((10, 32)).astype(np.float32) * 4
+    x = np.concatenate([c + rng.standard_normal((200, 32)).astype(np.float32) for c in centers])
+    q = x[rng.choice(len(x), 16, replace=False)] + 0.05 * rng.standard_normal((16, 32)).astype(np.float32)
+    return x, q
+
+
+def test_ivf_full_probe_matches_exact(corpus):
+    x, q = corpus
+    ivf = IVFIndex(nlist=8, nprobe=8).add(x)  # probe all lists -> exact
+    flat = FlatIndex("l2").add(x)
+    di, ii = ivf.search(q, 10)
+    df, if_ = flat.search(q, 10)
+    np.testing.assert_array_equal(ii, if_)
+    np.testing.assert_allclose(di, df, rtol=1e-3, atol=1e-3)
+
+
+def test_ivf_partial_probe_recall(corpus):
+    x, q = corpus
+    ivf = IVFIndex(nlist=16, nprobe=5).add(x)
+    flat = FlatIndex("l2").add(x)
+    _, ii = ivf.search(q, 10)
+    _, if_ = flat.search(q, 10)
+    assert recall_at_k(ii, if_) >= 0.95  # the BASELINE.json bar
+
+
+def test_ivf_save_load_roundtrip(corpus, tmp_path):
+    x, q = corpus
+    ivf = IVFIndex(nlist=8, nprobe=3).add(x)
+    p = tmp_path / "ivf.npz"
+    ivf.save(p)
+    ivf2 = IVFIndex.load(p)
+    d1, i1 = ivf.search(q, 5)
+    d2, i2 = ivf2.search(q, 5)
+    np.testing.assert_array_equal(i1, i2)
+
+
+def test_ivf_underfull_probes_return_minus_one(rng):
+    x = rng.standard_normal((20, 8)).astype(np.float32)
+    ivf = IVFIndex(nlist=10, nprobe=1).add(x)
+    d, i = ivf.search(x[:2], 10)
+    assert (i == -1).any()  # one probed list can't hold 10 candidates
+
+
+def test_ivfpq_recall_reasonable(corpus):
+    x, q = corpus
+    pq = IVFPQIndex(nlist=8, nprobe=8, m=16).add(x)
+    flat = FlatIndex("l2").add(x)
+    _, ii = pq.search(q, 10)
+    _, if_ = flat.search(q, 10)
+    # PQ is lossy; with full probing recall@10 should still be high
+    assert recall_at_k(ii, if_) >= 0.6
+
+
+def test_ivfpq_save_load(corpus, tmp_path):
+    x, q = corpus
+    pq = IVFPQIndex(nlist=4, nprobe=4, m=8).add(x)
+    p = tmp_path / "ivfpq.npz"
+    pq.save(p)
+    pq2 = IVFPQIndex.load(p)
+    d1, i1 = pq.search(q, 5)
+    d2, i2 = pq2.search(q, 5)
+    np.testing.assert_array_equal(i1, i2)
