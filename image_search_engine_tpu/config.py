@@ -30,6 +30,10 @@ class DnnModel(enum.Enum):
     RESNET = "resnet50"
     BIT = "bit-50"
     DENSENET = "densenet121"  # siamese backbone, also usable directly
+    # tiny variants for tests / CI smoke runs
+    RESNET_TINY = "resnet-tiny"
+    BIT_TINY = "bit-tiny"
+    DENSENET_TINY = "densenet-tiny"
 
 
 class IndexType(enum.Enum):
@@ -86,6 +90,8 @@ class Config:
     kmeans_seed: int = 42
     kmeans_spherical: bool = True
     max_descriptors_per_image: int = 256  # fixed-size keypoint budget (TPU-shaped)
+    daisy_step: int = 32  # reference descriptors.py:238-254 defaults
+    daisy_radius: int = 32
 
     # --- BM25 (OkapiTransformer, reference utils.py:100-219) ----------------
     bm25_k1: float = 1.0
@@ -116,11 +122,11 @@ class Config:
     # Artifact locations (reference config.py:76,87,89 equivalents).
     @property
     def dnn_index_path(self) -> Path:
-        return self.artifacts_dir / f"dnn_{self.dnn_model.value}_{self.index_type.value}.index"
+        return self.artifacts_dir / f"dnn_{self.dnn_model.value}_{self.index_type.value}.index.npz"
 
     @property
     def bovw_index_path(self) -> Path:
-        return self.artifacts_dir / "bovw.index"
+        return self.artifacts_dir / "bovw.index.npz"
 
     @property
     def bovw_pipeline_path(self) -> Path:

@@ -154,7 +154,7 @@ def make_descriptor(cfg: Config, embedder=None) -> SupportsDescribeBatch:
         return DHashDescriptor()
     kind = cfg.corner_descriptor
     if kind == CornerDescriptorKind.DAISY:
-        return DaisyDescriptor()
+        return DaisyDescriptor(step=cfg.daisy_step, radius=cfg.daisy_radius)
     return CornerDescriptor(kind, cfg.max_descriptors_per_image)
 
 

@@ -1,0 +1,268 @@
+"""Query engine: HTTP serving around a jitted search path.
+
+The reference's Flask app (backend/engine.py): ``POST /similar_images``
+takes a multipart image upload and returns
+``{"prediction": [[distance, base64_thumbnail, path], ...]}``
+(engine.py:68-107). This keeps that exact HTTP contract — the reference's
+React frontend works against it unchanged — on a stdlib threaded HTTP
+server (flask isn't part of the compute story and isn't needed).
+
+Differences from the reference, by design:
+  * the BoVW query path never round-trips through a temp PNG on disk
+    (reference engine.py:93-98 wrote ``.received.png`` and re-read it);
+  * the DHASH path actually works and returns nearest-hamming matches (the
+    reference's is broken — uses ``image_features`` before assignment,
+    engine.py:83);
+  * query embedding + search is one batched jitted path, reused across
+    requests (no per-request compilation).
+
+Also serves GET / with a minimal built-in upload UI (frontend replacement)
+and GET /healthz.
+"""
+
+from __future__ import annotations
+
+import argparse
+import email
+import email.policy
+import json
+import logging
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+from typing import Callable, List, Optional, Tuple
+
+import numpy as np
+
+from image_search_engine_tpu.config import Config, IndexType, Method
+from image_search_engine_tpu.utils.imageio import decode_image_bytes, load_paths_csv, thumbnail_b64
+
+log = logging.getLogger(__name__)
+
+Prediction = List[Tuple[float, str, str]]  # (distance, b64 thumb, path)
+
+
+# --------------------------------------------------------------------------
+# Query backends: built once at startup (reference engine.py:110-137)
+# --------------------------------------------------------------------------
+
+
+class QueryEngine:
+    """Image -> ranked (distance, path) results for one configured method."""
+
+    def __init__(self, cfg: Config, mesh=None):
+        self.cfg = cfg
+        self.paths = load_paths_csv(cfg.paths_file)
+        self._search = self._build(cfg, mesh)
+
+    def _build(self, cfg: Config, mesh) -> Callable[[np.ndarray, int], Tuple[np.ndarray, np.ndarray]]:
+        if cfg.method == Method.DNN:
+            from image_search_engine_tpu.models.embedder import CNNEmbedder
+
+            embedder = CNNEmbedder(
+                cfg.dnn_model.value, image_size=cfg.resize_size, batch_size=1, mesh=mesh
+            )
+            index = self._load_index(cfg.dnn_index_path, cfg, mesh)
+
+            def search(image: np.ndarray, k: int):
+                feat = embedder.embed_batch(image[None])
+                return index.search(feat, k)
+
+            return search
+
+        if cfg.method == Method.BOVW:
+            from image_search_engine_tpu.bovw.pipeline import BoVWPipeline
+            from image_search_engine_tpu.descriptors import make_descriptor
+            from image_search_engine_tpu.index.flat import FlatIndex
+            from image_search_engine_tpu.ops.image_ops import resize
+
+            pipeline = BoVWPipeline.load(cfg.bovw_pipeline_path)
+            descriptor = make_descriptor(cfg)
+            index = FlatIndex.load(cfg.bovw_index_path, mesh=mesh)
+            s = cfg.resize_size
+
+            def search(image: np.ndarray, k: int):
+                # match the index-build image size (descriptor grids/keypoint
+                # budgets are resolution-dependent)
+                img = np.asarray(resize(image, s, s))
+                feats, valid = descriptor.describe_batch(img[None])
+                hist = pipeline.transform(feats, valid)
+                return index.search(hist.astype(np.float32), k)
+
+            return search
+
+        if cfg.method == Method.DHASH:
+            from image_search_engine_tpu.ops.dhash import dhash_bits, hamming_topk
+            from image_search_engine_tpu.ops.image_ops import resize, rgb_to_gray
+
+            z = np.load(cfg.dhash_store_path, allow_pickle=False)
+            bits = z["bits"]
+            s = cfg.resize_size
+
+            def search(image: np.ndarray, k: int):
+                import jax.numpy as jnp
+
+                img = resize(jnp.asarray(image, jnp.float32), s, s)
+                qb = dhash_bits(rgb_to_gray(img[None]))
+                d, i = hamming_topk(np.asarray(qb), bits, min(k, bits.shape[0]))
+                return np.asarray(d), np.asarray(i)
+
+            return search
+
+        raise ValueError(f"unsupported method {cfg.method}")
+
+    @staticmethod
+    def _load_index(path, cfg: Config, mesh):
+        if cfg.index_type in (IndexType.CELL_PROBE, IndexType.IVFPQ):
+            from image_search_engine_tpu.index.ivf import IVFIndex, IVFPQIndex
+
+            cls = IVFPQIndex if cfg.index_type == IndexType.IVFPQ else IVFIndex
+            return cls.load(path, mesh=mesh)
+        from image_search_engine_tpu.index.flat import FlatIndex
+
+        return FlatIndex.load(path, mesh=mesh)
+
+    def query(self, image: np.ndarray, k: Optional[int] = None) -> Prediction:
+        k = k or self.cfg.num_images_to_return
+        t0 = time.time()
+        dists, ids = self._search(image, k)
+        search_s = time.time() - t0
+        out: Prediction = []
+        for dist, idx in zip(dists[0].tolist(), ids[0].tolist()):
+            if idx < 0 or idx >= len(self.paths):
+                continue
+            path = self.paths[idx]
+            try:
+                thumb = thumbnail_b64(path, self.cfg.thumbnail_size)
+            except Exception:  # noqa: BLE001 — missing/corrupt corpus file
+                thumb = ""
+            out.append((round(float(dist), 4), thumb, path))
+        log.info("query: search %.1fms, total %.1fms, %d hits",
+                 search_s * 1e3, (time.time() - t0) * 1e3, len(out))
+        return out
+
+
+# --------------------------------------------------------------------------
+# HTTP layer
+# --------------------------------------------------------------------------
+
+_UI_HTML = """<!doctype html>
+<html><head><title>tpu image search</title><style>
+body{font-family:sans-serif;margin:2rem;background:#fafafa}
+#grid{display:grid;grid-template-columns:repeat(5,1fr);gap:12px;margin-top:1rem}
+.card{background:#fff;border-radius:8px;padding:8px;box-shadow:0 1px 3px #0002}
+.card img{width:100%;border-radius:4px}.d{color:#555;font-size:12px}
+</style></head><body>
+<h2>TPU image search</h2>
+<input type="file" id="f" accept="image/*">
+<div id="grid"></div>
+<script>
+document.getElementById('f').onchange = async (e) => {
+  const fd = new FormData(); fd.append('image', e.target.files[0]);
+  const r = await fetch('/similar_images', {method:'POST', body: fd});
+  const js = await r.json();
+  document.getElementById('grid').innerHTML = js.prediction.map(p =>
+    `<div class="card"><img src="data:image/jpeg;base64,${p[1]}">
+     <div class="d">${Number(p[0]).toFixed(3)}<br>${p[2]}</div></div>`).join('');
+};
+</script></body></html>"""
+
+
+def _parse_multipart(headers, body: bytes) -> Optional[bytes]:
+    """Extract the first file part from a multipart/form-data body."""
+    ctype = headers.get("Content-Type", "")
+    if "multipart/form-data" not in ctype:
+        return None
+    msg = email.message_from_bytes(
+        f"Content-Type: {ctype}\r\n\r\n".encode() + body, policy=email.policy.HTTP
+    )
+    for part in msg.iter_parts():
+        payload = part.get_payload(decode=True)
+        if payload:
+            return payload
+    return None
+
+
+def make_handler(engine: QueryEngine):
+    class Handler(BaseHTTPRequestHandler):
+        def _json(self, code: int, payload) -> None:
+            blob = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Access-Control-Allow-Origin", "*")  # CORS, like flask_cors
+            self.send_header("Content-Length", str(len(blob)))
+            self.end_headers()
+            self.wfile.write(blob)
+
+        def do_GET(self):  # noqa: N802 (stdlib API)
+            if self.path == "/healthz":
+                self._json(200, {"status": "ok", "corpus": len(engine.paths)})
+                return
+            page = _UI_HTML.encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.send_header("Content-Length", str(len(page)))
+            self.end_headers()
+            self.wfile.write(page)
+
+        def do_OPTIONS(self):  # noqa: N802
+            self.send_response(204)
+            self.send_header("Access-Control-Allow-Origin", "*")
+            self.send_header("Access-Control-Allow-Methods", "POST, GET, OPTIONS")
+            self.send_header("Access-Control-Allow-Headers", "*")
+            self.end_headers()
+
+        def do_POST(self):  # noqa: N802
+            if self.path != "/similar_images":
+                self._json(404, {"error": "unknown endpoint"})
+                return
+            length = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(length)
+            data = _parse_multipart(self.headers, body)
+            if data is None:
+                # 400 on missing upload (reference engine.py:72-73)
+                self._json(400, {"error": "no image uploaded"})
+                return
+            try:
+                image = decode_image_bytes(data)
+            except Exception as e:  # noqa: BLE001
+                self._json(400, {"error": f"undecodable image: {e}"})
+                return
+            prediction = engine.query(image)
+            self._json(200, {"prediction": prediction})
+
+        def log_message(self, fmt, *args):  # quieter: route through logging
+            log.debug("%s - %s", self.address_string(), fmt % args)
+
+    return Handler
+
+
+def serve(cfg: Config, mesh=None) -> None:
+    engine = QueryEngine(cfg, mesh=mesh)
+    httpd = ThreadingHTTPServer((cfg.host, cfg.port), make_handler(engine))
+    log.info("serving %s on http://%s:%d (corpus: %d images)",
+             cfg.method.value, cfg.host, cfg.port, len(engine.paths))
+    httpd.serve_forever()
+
+
+def parse_args(argv=None) -> Config:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--artifacts-dir", type=Path, default=Path("artifacts"))
+    ap.add_argument("--method", choices=[m.value for m in Method], default="dnn")
+    ap.add_argument("--index-type", choices=[t.value for t in IndexType], default="l2")
+    ap.add_argument("--dnn-model", default="resnet50")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=5000)
+    a = ap.parse_args(argv)
+    from image_search_engine_tpu.config import DnnModel
+
+    return Config(
+        artifacts_dir=a.artifacts_dir, method=Method(a.method),
+        index_type=IndexType(a.index_type), dnn_model=DnnModel(a.dnn_model),
+        host=a.host, port=a.port,
+    )
+
+
+if __name__ == "__main__":
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s %(message)s")
+    serve(parse_args())

@@ -1,0 +1,144 @@
+"""End-to-end: synthetic image folder -> indexer -> engine -> HTTP query
+(the reference's full indexer.py + engine.py flow, SURVEY.md §3.1-3.3)."""
+
+import json
+import threading
+import urllib.request
+from http.server import ThreadingHTTPServer
+from pathlib import Path
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from image_search_engine_tpu.config import Config, CornerDescriptorKind, DnnModel, IndexType, Method
+from image_search_engine_tpu.engine import QueryEngine, make_handler
+from image_search_engine_tpu.indexer import main as indexer_main
+
+
+def make_corpus(root: Path, rng, groups=3, per_group=4, size=64):
+    """Groups of visually similar images: smooth structure (low-res random
+    pattern upsampled) so features are stable under host-vs-device
+    resampling, plus per-image noise."""
+    root.mkdir(parents=True, exist_ok=True)
+    paths = []
+    for g in range(groups):
+        low = rng.random((8, 8, 3)) * 0.6 + 0.2
+        base = np.asarray(Image.fromarray((low * 255).astype(np.uint8)).resize((size, size), Image.BILINEAR), np.float32) / 255.0
+        base[:, : size // 2] *= [1.0, 0.3, 0.3] if g == 0 else ([0.3, 1.0, 0.3] if g == 1 else [0.3, 0.3, 1.0])
+        for i in range(per_group):
+            img = np.clip(base + 0.02 * rng.standard_normal((size, size, 3)), 0, 1)
+            p = root / f"g{g}_{i}.png"
+            Image.fromarray((img * 255).astype(np.uint8)).save(p)
+            paths.append(p)
+    return paths
+
+
+@pytest.fixture
+def corpus_dir(tmp_path, rng):
+    make_corpus(tmp_path / "images", rng)
+    return tmp_path
+
+
+def _cfg(corpus_dir, **kw) -> Config:
+    kw.setdefault("resize_size", 32)
+    return Config(
+        data_dir=corpus_dir / "images",
+        artifacts_dir=corpus_dir / "artifacts",
+        embed_batch_size=4,
+        num_images_to_return=5,
+        **kw,
+    )
+
+
+def test_dnn_index_and_query(corpus_dir, rng):
+    cfg = _cfg(corpus_dir, method=Method.DNN, dnn_model=DnnModel.RESNET_TINY,
+               index_type=IndexType.L2)
+    indexer_main(cfg)
+    assert cfg.dnn_index_path.exists() and cfg.paths_file.exists()
+
+    engine = QueryEngine(cfg)
+    # query with a corpus image: it must return itself first at ~0 distance
+    from image_search_engine_tpu.utils.imageio import load_image
+
+    img = load_image(engine.paths[0])
+    pred = engine.query(img, k=3)
+    assert len(pred) == 3
+    assert pred[0][2] == engine.paths[0]
+    assert pred[0][0] < 0.05  # tiny host-vs-device resample difference
+    assert pred[0][1]  # thumbnail present
+
+
+def test_bovw_index_and_query(corpus_dir):
+    cfg = _cfg(corpus_dir, method=Method.BOVW,
+               corner_descriptor=CornerDescriptorKind.DAISY,
+               index_type=IndexType.COSINE, num_clusters=16,
+               resize_size=96, daisy_step=16, daisy_radius=16)
+    indexer_main(cfg)
+    assert cfg.bovw_pipeline_path.exists() and cfg.bovw_index_path.exists()
+
+    engine = QueryEngine(cfg)
+    from image_search_engine_tpu.utils.imageio import load_image
+
+    img = load_image(engine.paths[2])  # g0_2
+    pred = engine.query(img, k=4)
+    # within-group histograms can tie exactly, so assert group-level wins:
+    # all top-4 hits are the query's own group, self among them
+    names = [Path(p).name for _, _, p in pred]
+    assert all(n.startswith("g0_") for n in names), names
+    assert Path(engine.paths[2]).name in names
+
+
+def test_dhash_index_and_query(corpus_dir):
+    cfg = _cfg(corpus_dir, method=Method.DHASH)
+    indexer_main(cfg)
+    engine = QueryEngine(cfg)
+    from image_search_engine_tpu.utils.imageio import load_image
+
+    img = load_image(engine.paths[1])
+    pred = engine.query(img, k=3)
+    assert pred[0][2] == engine.paths[1]
+    assert pred[0][0] == 0  # identical hash
+
+
+def test_http_contract(corpus_dir):
+    cfg = _cfg(corpus_dir, method=Method.DNN, dnn_model=DnnModel.RESNET_TINY)
+    indexer_main(cfg)
+    engine = QueryEngine(cfg)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(engine))
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        # healthz
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz") as r:
+            assert json.load(r)["corpus"] == 12
+
+        # multipart upload (the reference frontend's FormData POST, App.js:14-19)
+        img_bytes = Path(engine.paths[0]).read_bytes()
+        boundary = "testboundary42"
+        body = (
+            f"--{boundary}\r\n"
+            'Content-Disposition: form-data; name="image"; filename="q.png"\r\n'
+            "Content-Type: image/png\r\n\r\n"
+        ).encode() + img_bytes + f"\r\n--{boundary}--\r\n".encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/similar_images",
+            data=body,
+            headers={"Content-Type": f"multipart/form-data; boundary={boundary}"},
+        )
+        with urllib.request.urlopen(req) as r:
+            js = json.load(r)
+        assert "prediction" in js and len(js["prediction"]) == 5
+        dist, thumb, path = js["prediction"][0]
+        assert path == engine.paths[0] and dist < 0.05 and thumb
+
+        # 400 on missing upload (reference engine.py:72-73)
+        req = urllib.request.Request(f"http://127.0.0.1:{port}/similar_images", data=b"")
+        try:
+            urllib.request.urlopen(req)
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        httpd.shutdown()
