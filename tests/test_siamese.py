@@ -1,0 +1,191 @@
+"""Siamese trainer: losses vs golden math, augmentations, full training
+loop (tiny backbone), checkpoint/resume, create_index + eval cross-check
+(reference backend/siamese/*)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from PIL import Image
+
+from image_search_engine_tpu.training.siamese import losses as L
+from image_search_engine_tpu.training.siamese.augmentations import augment_batch
+from image_search_engine_tpu.training.siamese.config import (
+    SiameseConfig,
+    ckpt_filename,
+    extract_epoch_and_loss,
+    get_best_val_loss,
+    get_latest_checkpoint,
+)
+from image_search_engine_tpu.training.siamese.dataset import PairsGenerator
+from image_search_engine_tpu.training.siamese.train import Trainer
+
+
+# ---------------- losses ----------------------------------------------------
+
+
+def test_triplet_loss_golden(rng):
+    a = rng.standard_normal((4, 8)).astype(np.float32)
+    p = rng.standard_normal((4, 8)).astype(np.float32)
+    n = rng.standard_normal((4, 8)).astype(np.float32)
+    got = np.asarray(L.triplet_loss(a, p, n, margin=0.5))
+    want = np.maximum(((a - p) ** 2).sum(1) - ((a - n) ** 2).sum(1) + 0.5, 0.0)
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_triplet_loss_zero_when_easy():
+    a = np.zeros((1, 4), np.float32)
+    p = np.zeros((1, 4), np.float32)
+    n = np.full((1, 4), 10.0, np.float32)
+    assert float(L.triplet_loss(a, p, n, 0.5)[0]) == 0.0
+
+
+def test_circle_loss_golden(rng):
+    # independent reimplementation of model.py:92-137
+    a = rng.standard_normal((6, 16)).astype(np.float32)
+    p = rng.standard_normal((6, 16)).astype(np.float32)
+    n = rng.standard_normal((6, 16)).astype(np.float32)
+    m, s = 0.25, 256.0
+
+    def cos(x, y):
+        x = x / np.linalg.norm(x, axis=1, keepdims=True)
+        y = y / np.linalg.norm(y, axis=1, keepdims=True)
+        return (x * y).sum(1)
+
+    sp, sn = cos(a, p), cos(a, n)
+    ap_ = np.maximum(1 + m - sp, 0)
+    an_ = np.maximum(sn + m, 0)
+    lp = -s * ap_ * (sp - (1 - m))
+    ln = s * an_ * (sn - m)
+    lse = lambda v: np.log(np.exp(v - v.max()).sum()) + v.max()
+    x = lse(ln) + lse(lp)
+    want = max(x, 0.0) + np.log1p(np.exp(-abs(x)))  # stable softplus
+    got = float(L.circle_loss(a, p, n, m, s))
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_self_supervised_circle_separates(rng):
+    # loss must be lower when anchors ~= positives than when random
+    a = rng.standard_normal((8, 16)).astype(np.float32)
+    close = a + 0.01 * rng.standard_normal((8, 16)).astype(np.float32)
+    far = rng.standard_normal((8, 16)).astype(np.float32)
+    assert float(L.self_supervised_circle_loss(a, close)) < float(
+        L.self_supervised_circle_loss(a, far)
+    )
+
+
+# ---------------- augmentations ----------------------------------------------
+
+
+def test_augment_batch_shape_range_and_randomness(rng):
+    imgs = rng.random((4, 32, 24, 3)).astype(np.float32)
+    k1, k2 = jax.random.PRNGKey(0), jax.random.PRNGKey(1)
+    a1 = np.asarray(augment_batch(k1, imgs))
+    a1b = np.asarray(augment_batch(k1, imgs))
+    a2 = np.asarray(augment_batch(k2, imgs))
+    assert a1.shape == imgs.shape
+    assert a1.min() >= 0.0 and a1.max() <= 1.0
+    np.testing.assert_array_equal(a1, a1b)  # deterministic per key
+    assert not np.allclose(a1, a2)  # different key -> different aug
+    assert not np.allclose(a1, imgs)  # actually changed
+
+
+# ---------------- checkpoint names --------------------------------------------
+
+
+def test_ckpt_name_roundtrip(tmp_path):
+    name = ckpt_filename(7, 0.1234)
+    assert extract_epoch_and_loss(name) == (7, 0.1234)
+    assert extract_epoch_and_loss("garbage.msgpack") is None
+    (tmp_path / ckpt_filename(1, 0.5)).write_bytes(b"x")
+    (tmp_path / ckpt_filename(3, 0.4)).write_bytes(b"x")
+    (tmp_path / ckpt_filename(2, 0.3)).write_bytes(b"x")
+    assert get_latest_checkpoint(tmp_path).name == ckpt_filename(3, 0.4)
+    assert get_best_val_loss(tmp_path) == 0.3
+
+
+# ---------------- end-to-end training ------------------------------------------
+
+
+@pytest.fixture
+def card_corpus(tmp_path, rng):
+    for split, n in [("train", 6), ("valid", 4)]:
+        d = tmp_path / split
+        d.mkdir()
+        for i in range(n):
+            low = rng.random((6, 6, 3))
+            img = np.asarray(
+                Image.fromarray((low * 255).astype(np.uint8)).resize((32, 32)), np.uint8
+            )
+            Image.fromarray(img).save(d / f"card_{i}.png")
+    return tmp_path
+
+
+def _tiny_cfg(root, **kw) -> SiameseConfig:
+    kw.setdefault("batch_size", 4)
+    return SiameseConfig(
+        train_dir=root / "train", valid_dir=root / "valid",
+        ckpt_dir=root / "ckpts", log_file=root / "metrics.jsonl",
+        backbone="densenet-tiny", image_size=(32, 32), embedding_dim=16,
+        freeze_backbone=False, **kw,
+    )
+
+
+@pytest.mark.parametrize("loss", ["triplet", "self_supervised_circle"])
+def test_training_reduces_loss_and_checkpoints(card_corpus, loss):
+    cfg = _tiny_cfg(card_corpus, loss=loss, lr=1e-2)
+    tr = Trainer(cfg)
+    out = tr.run(epochs=3, steps_per_epoch=4, val_steps=2)
+    assert len(out["history"]) == 3
+    assert np.isfinite(out["best_val"])
+    assert get_latest_checkpoint(cfg.ckpt_dir) is not None
+    assert cfg.log_file.exists()
+
+
+def test_training_resume(card_corpus):
+    cfg = _tiny_cfg(card_corpus, loss="triplet", lr=1e-2)
+    tr1 = Trainer(cfg)
+    tr1.run(epochs=2, steps_per_epoch=2, val_steps=1)
+    latest = get_latest_checkpoint(cfg.ckpt_dir)
+    assert latest is not None
+    tr2 = Trainer(cfg)
+    tr2.maybe_resume()
+    assert tr2.start_epoch >= 1  # picks up after the saved epoch
+    # resumed params match the checkpointed ones
+    p1 = jax.tree_util.tree_leaves(tr1.params)
+    p2 = jax.tree_util.tree_leaves(tr2.params)
+    # tr1 may have advanced past the best ckpt; at least shapes align and
+    # a fresh trainer's params were overwritten by load
+    assert all(a.shape == b.shape for a, b in zip(p1, p2))
+
+
+def test_create_index_and_eval_crosscheck(card_corpus):
+    from image_search_engine_tpu.training.siamese.create_index import create_index
+    from image_search_engine_tpu.training.siamese.eval import query_index, recall_at_k
+
+    cfg = _tiny_cfg(card_corpus, loss="triplet")
+    out_index = card_corpus / "siamese.index.npz"
+    out_csv = card_corpus / "images.csv"
+    index = create_index(cfg, card_corpus / "train", out_index, out_csv)
+    assert out_index.exists() and out_csv.exists()
+
+    manual = create_index(
+        cfg, card_corpus / "train", card_corpus / "manual.npz", out_csv, manual=True
+    )
+    q = manual[:3]
+    df, if_ = query_index(q, index, "flat", k=3)
+    db, ib = query_index(q, manual, "bruteforce", k=3)
+    # faiss-vs-dict cross-check (test_index.py pattern): same neighbor sets
+    assert recall_at_k(if_, ib) == 1.0
+    assert (if_[:, 0] == np.arange(3)).all()  # self-match first
+
+
+def test_trainer_dp_sharded_step(card_corpus):
+    from image_search_engine_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(8)
+    cfg = _tiny_cfg(card_corpus, loss="triplet", batch_size=8)
+    tr = Trainer(cfg, mesh=mesh)
+    gen = PairsGenerator.from_dir(cfg.train_dir, 8, cfg.image_size)
+    out = tr.run(train_gen=gen, valid_gen=gen, epochs=1, steps_per_epoch=2, val_steps=1)
+    assert np.isfinite(out["best_val"])
