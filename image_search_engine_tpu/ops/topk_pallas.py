@@ -1,10 +1,25 @@
-"""Fused distance + top-k Pallas kernel — the serving-path hot op.
+"""Fused distance + top-k Pallas kernels — the serving-path hot op.
 
-Replaces Faiss's flat-index scan (``faiss.IndexFlatL2/IP.search``, built at
-backend/utils.py:293-330 and called at backend/engine.py:55) with a single
-TPU kernel that streams the store through VMEM tile by tile and maintains a
-running top-k accumulator, so the (Q, N) distance matrix never materializes
-in HBM:
+Two exact algorithms behind one contract:
+
+  * ``topk_pallas`` — running-accumulator kernel (below): best when Q is
+    small, since tiles that beat nobody are rejected with one min-pass.
+    At large Q nearly every tile improves some query, and the k-pass merge
+    degenerates to k*Q*N VPU work.
+  * ``topk_twophase`` — the scalable exact algorithm: phase 1 fuses the
+    distance matmul with a per-128-column-group min (one pass, so the
+    whole sweep is HBM-bandwidth-bound); phase 2 takes each query's 2k
+    best groups — any group containing a top-k element must have a group
+    min <= the global k-th distance, and at most k groups can, so k
+    groups provably cover the exact answer (2k absorbs ties) — gathers
+    those candidates, and rescans them exactly in XLA. Extra traffic is
+    O(Q * 2k * 128 * d) — negligible next to the O(N * d) stream.
+
+Both replace Faiss's flat-index scan (``faiss.IndexFlatL2/IP.search``,
+built at backend/utils.py:293-330 and called at backend/engine.py:55).
+The accumulator kernel streams the store through VMEM tile by tile and
+maintains a running top-k accumulator, so the (Q, N) distance matrix never
+materializes in HBM:
 
   * the distance tile is one (Q, d) x (d, TILE_N) matmul on the MXU using
     the ``||x||^2 - 2 q.x`` expansion (store norms precomputed once);
@@ -96,6 +111,7 @@ def _topk_kernel(
         x_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )  # (Qp, TILE_N)
     scores = xn_ref[:][None, :] - 2.0 * cross
 
@@ -226,3 +242,129 @@ def topk_pallas(
         qnorm = jnp.sum(q.astype(jnp.float32) * q, axis=1, keepdims=True)
         return jnp.maximum(out_d + qnorm, 0.0), out_i
     return -out_d, out_i
+
+
+# ---------------------------------------------------------------------------
+# Two-phase exact top-k (scalable in Q): grouped-min sweep + candidate rescan
+# ---------------------------------------------------------------------------
+
+GROUP = 128  # candidate-group width (one lane row)
+
+
+def _groupmin_kernel(q_ref, xn_ref, x_ref, out_ref, *, tile_n: int):
+    """Phase 1: distance tile on the MXU + min over each 128-column group.
+
+    out block: (tile_n // GROUP, Qp) group minima for this tile —
+    transposed so the lane dimension is the (>=128-wide) query axis, per
+    Mosaic block-shape rules. One pass over the tile, HBM-bandwidth-bound.
+    """
+    cross = jax.lax.dot_general(
+        q_ref[:],
+        x_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (Qp, tile_n)
+    scores = xn_ref[:][None, :] - 2.0 * cross
+    mins = []
+    for g in range(tile_n // GROUP):
+        mins.append(jnp.min(scores[:, g * GROUP : (g + 1) * GROUP], axis=1))
+    out_ref[:] = jnp.stack(mins, axis=0)  # (tile_n//GROUP, Qp)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "metric", "tile_n", "interpret")
+)
+def topk_twophase(
+    q: jnp.ndarray,
+    x: jnp.ndarray,
+    k: int,
+    metric: str = "l2",
+    *,
+    x_norms: Optional[jnp.ndarray] = None,
+    tile_n: int = 4096,
+    interpret: Optional[bool] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact k-NN via grouped-min sweep + candidate rescan. Same contract
+    as ``topk_flat``/``topk_pallas``. Scales to large query batches: the
+    phase-1 Pallas kernel is one matmul + one reduction pass per tile."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    if metric == "cosine":
+        from image_search_engine_tpu.ops.distances import l2_normalize
+
+        q = l2_normalize(q)
+        x = l2_normalize(x)
+        metric = "ip"
+    if metric not in ("l2", "ip"):
+        raise ValueError(f"unsupported metric {metric!r}")
+
+    qn_rows, d = q.shape
+    n = x.shape[0]
+    dp = _round_up(d, 128)
+    qp = _round_up(qn_rows, 8)
+    tile_n = min(tile_n, _round_up(n, GROUP))
+    npad = _round_up(n, tile_n)
+    ngroups = npad // GROUP
+
+    qf = jnp.pad(q.astype(jnp.float32), ((0, qp - qn_rows), (0, dp - d)))
+    xf = jnp.pad(x.astype(jnp.float32), ((0, npad - n), (0, dp - d)))
+
+    from image_search_engine_tpu.parallel.topk import PAD_NORM
+
+    if metric == "l2":
+        norms = jnp.sum(x.astype(jnp.float32) * x, axis=1) if x_norms is None else x_norms
+    else:
+        # IP: poisoned-pad penalty only; real norms must not shift scores
+        if x_norms is None:
+            norms = jnp.zeros((n,), jnp.float32)
+        else:
+            norms = jnp.where(x_norms >= PAD_NORM / 2, jnp.float32(PAD_NORM), 0.0)
+        qf = qf * 0.5
+    # wrapper's own padding rows: poison so they never enter candidates
+    norms = jnp.pad(norms, (0, npad - n), constant_values=PAD_NORM)
+
+    grid = (npad // tile_n,)
+    mins = pl.pallas_call(
+        functools.partial(_groupmin_kernel, tile_n=tile_n),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((qp, dp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, dp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile_n // GROUP, qp), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((ngroups, qp), jnp.float32),
+        interpret=interpret,
+    )(qf, norms, xf)
+    mins = mins.T  # (Qp, ngroups)
+
+    # Phase 2 (XLA): 2k best groups per query provably cover the top-k.
+    t = min(2 * k, ngroups)
+    _, cand_groups = jax.lax.top_k(-mins[:qn_rows], t)  # (Q, t)
+    offsets = jnp.arange(GROUP, dtype=jnp.int32)
+    flat_ids = (cand_groups[..., None] * GROUP + offsets).reshape(qn_rows, t * GROUP)
+    vecs = xf[flat_ids]  # (Q, C, dp) gather
+    cn = norms[flat_ids]  # poisoned at pads
+    if metric == "l2":
+        cross = jnp.einsum("qd,qcd->qc", qf[:qn_rows], vecs,
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+        dist = cn - 2.0 * cross
+        kk = min(k, t * GROUP)
+        vals, pos = jax.lax.top_k(-dist, kk)
+        ids = jnp.take_along_axis(flat_ids, pos, axis=1)
+        qnorm = jnp.sum(q.astype(jnp.float32) * q, axis=1, keepdims=True)
+        return jnp.maximum(-vals + qnorm, 0.0), ids
+    # ip: qf was pre-scaled by 0.5, so 2*(qf . v) restores the true score
+    cross = jnp.einsum("qd,qcd->qc", qf[:qn_rows], vecs,
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST) * 2.0
+    score = cross - cn
+    kk = min(k, t * GROUP)
+    vals, pos = jax.lax.top_k(score, kk)
+    ids = jnp.take_along_axis(flat_ids, pos, axis=1)
+    return vals, ids

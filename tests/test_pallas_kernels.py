@@ -53,3 +53,38 @@ def test_kmeans_with_pallas_assign(rng):
                      assign_fn=lambda a, b: assign_pallas(a, b, tile_n=128)).fit(x)
     km_j = KM.KMeans(n_clusters=8, niter=8, nredo=1, seed=1, spherical=False).fit(x)
     np.testing.assert_allclose(km_p.cluster_centers_, km_j.cluster_centers_, rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("metric", ["l2", "ip", "cosine"])
+@pytest.mark.parametrize("n,d,q,k", [(500, 32, 5, 10), (3000, 96, 64, 20)])
+def test_topk_twophase_matches_reference(rng, metric, n, d, q, k):
+    from image_search_engine_tpu.ops.topk_pallas import topk_twophase
+
+    qv = rng.standard_normal((q, d)).astype(np.float32)
+    xv = rng.standard_normal((n, d)).astype(np.float32)
+    pd, pi = topk_twophase(qv, xv, k, metric, tile_n=512)
+    rd, ri = D.topk_flat(qv, xv, k, metric)
+    np.testing.assert_array_equal(np.asarray(pi), np.asarray(ri))
+    np.testing.assert_allclose(np.asarray(pd), np.asarray(rd), rtol=2e-4, atol=2e-4)
+
+
+def test_topk_twophase_clustered_data(rng):
+    # clustered data stresses the "top-k concentrated in few groups" case
+    from image_search_engine_tpu.ops.topk_pallas import topk_twophase
+
+    c = rng.standard_normal((5, 16)).astype(np.float32) * 5
+    xv = np.concatenate([c[i] + 0.1 * rng.standard_normal((400, 16)).astype(np.float32) for i in range(5)])
+    qv = c + 0.01
+    pd, pi = topk_twophase(qv, xv, 10, "l2", tile_n=512)
+    rd, ri = D.topk_flat(qv, xv, 10, "l2")
+    np.testing.assert_array_equal(np.asarray(pi), np.asarray(ri))
+
+
+def test_topk_twophase_small_store(rng):
+    from image_search_engine_tpu.ops.topk_pallas import topk_twophase
+
+    qv = rng.standard_normal((3, 8)).astype(np.float32)
+    xv = rng.standard_normal((50, 8)).astype(np.float32)
+    pd, pi = topk_twophase(qv, xv, 5, "l2")
+    rd, ri = D.topk_flat(qv, xv, 5, "l2")
+    np.testing.assert_array_equal(np.asarray(pi), np.asarray(ri))
