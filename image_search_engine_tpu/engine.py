@@ -50,10 +50,26 @@ Prediction = List[Tuple[float, str, str]]  # (distance, b64 thumb, path)
 class QueryEngine:
     """Image -> ranked (distance, path) results for one configured method."""
 
-    def __init__(self, cfg: Config, mesh=None):
+    def __init__(self, cfg: Config, mesh=None, prewarm: bool = True):
+        from image_search_engine_tpu.utils.profiling import ServingStats
+
         self.cfg = cfg
         self.paths = load_paths_csv(cfg.paths_file)
+        self.stats = ServingStats()
         self._search = self._build(cfg, mesh)
+        if prewarm:
+            self.prewarm()
+
+    def prewarm(self) -> None:
+        """Trigger jit compilation before the first real request (first-query
+        latency is dominated by compile otherwise)."""
+        t0 = time.time()
+        dummy = np.zeros((self.cfg.resize_size, self.cfg.resize_size, 3), np.float32)
+        try:
+            self._search(dummy, min(2, max(1, len(self.paths))))
+            log.info("prewarm compile finished in %.1fs", time.time() - t0)
+        except Exception as e:  # noqa: BLE001 — prewarm failing must not block serving
+            log.warning("prewarm failed (serving continues, first query compiles): %s", e)
 
     def _build(self, cfg: Config, mesh) -> Callable[[np.ndarray, int], Tuple[np.ndarray, np.ndarray]]:
         if cfg.method == Method.DNN:
@@ -125,8 +141,13 @@ class QueryEngine:
     def query(self, image: np.ndarray, k: Optional[int] = None) -> Prediction:
         k = k or self.cfg.num_images_to_return
         t0 = time.time()
-        dists, ids = self._search(image, k)
+        try:
+            dists, ids = self._search(image, k)
+        except Exception:
+            self.stats.record(time.time() - t0, error=True)
+            raise
         search_s = time.time() - t0
+        self.stats.record(search_s)
         out: Prediction = []
         for dist, idx in zip(dists[0].tolist(), ids[0].tolist()):
             if idx < 0 or idx >= len(self.paths):
@@ -197,6 +218,9 @@ def make_handler(engine: QueryEngine):
         def do_GET(self):  # noqa: N802 (stdlib API)
             if self.path == "/healthz":
                 self._json(200, {"status": "ok", "corpus": len(engine.paths)})
+                return
+            if self.path == "/stats":
+                self._json(200, engine.stats.snapshot())
                 return
             page = _UI_HTML.encode()
             self.send_response(200)

@@ -258,12 +258,15 @@ def _groupmin_kernel(q_ref, xn_ref, x_ref, out_ref, *, tile_n: int):
     transposed so the lane dimension is the (>=128-wide) query axis, per
     Mosaic block-shape rules. One pass over the tile, HBM-bandwidth-bound.
     """
+    # HIGHEST forces true-f32 matmul (3-pass); bf16 inputs use the native
+    # MXU path (Mosaic rejects HIGHEST for bf16 operands)
+    prec = jax.lax.Precision.HIGHEST if q_ref.dtype == jnp.float32 else None
     cross = jax.lax.dot_general(
         q_ref[:],
         x_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=prec,
     )  # (Qp, tile_n)
     scores = xn_ref[:][None, :] - 2.0 * cross
     mins = []
@@ -303,13 +306,17 @@ def topk_twophase(
     qn_rows, d = q.shape
     n = x.shape[0]
     dp = _round_up(d, 128)
-    qp = _round_up(qn_rows, 8)
+    # bf16 tiles want 16-row sublane alignment
+    qp = _round_up(qn_rows, 16 if x.dtype == jnp.bfloat16 else 8)
     tile_n = min(tile_n, _round_up(n, GROUP))
     npad = _round_up(n, tile_n)
     ngroups = npad // GROUP
 
-    qf = jnp.pad(q.astype(jnp.float32), ((0, qp - qn_rows), (0, dp - d)))
-    xf = jnp.pad(x.astype(jnp.float32), ((0, npad - n), (0, dp - d)))
+    # Keep the store's dtype: a bfloat16 store halves HBM traffic (the
+    # sweep's bound) at equal recall in practice; accumulation stays f32.
+    store_dt = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+    qf = jnp.pad(q.astype(store_dt), ((0, qp - qn_rows), (0, dp - d)))
+    xf = jnp.pad(x.astype(store_dt), ((0, npad - n), (0, dp - d)))
 
     from image_search_engine_tpu.parallel.topk import PAD_NORM
 

@@ -62,14 +62,42 @@ def load_images_batched(
     size: Tuple[int, int],
     num_workers: int = 8,
     skip_errors: bool = True,
+    use_native: bool = False,
 ) -> Iterator[Tuple[np.ndarray, List[int]]]:
     """Yield (batch (B, H, W, 3) f32, kept source indices).
 
     Decoding runs in a thread pool that stays ahead of the consumer;
     unreadable files are skipped with a warning (the reference's per-image
-    try/except skip, descriptors.py:81-96).
+    try/except skip, descriptors.py:81-96). ``use_native=True`` routes
+    decode+resize through the C++ loader (native/, GIL-free threads) with
+    per-file PIL fallback for formats it doesn't handle.
     """
     paths = list(paths)
+
+    if use_native:
+        from image_search_engine_tpu.utils import native_loader
+
+        if native_loader.available():
+            for s in range(0, len(paths), batch_size):
+                chunk = paths[s : s + batch_size]
+                batch, ok = native_loader.load_batch(chunk, size[0], size[1], num_workers)
+                imgs, idx = [], []
+                for j, good in enumerate(ok):
+                    if good:
+                        imgs.append(batch[j])
+                        idx.append(s + j)
+                        continue
+                    try:  # fallback: e.g. progressive JPEG
+                        imgs.append(load_image(chunk[j], size))
+                        idx.append(s + j)
+                    except Exception as e:  # noqa: BLE001
+                        if not skip_errors:
+                            raise
+                        log.warning("skipping unreadable image %s: %s", chunk[j], e)
+                if imgs:
+                    yield np.stack(imgs), idx
+            return
+        log.warning("native loader unavailable; using PIL thread pool")
 
     def _load(i: int):
         try:

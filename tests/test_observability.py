@@ -1,0 +1,77 @@
+"""Profiling / serving-stats utilities + native-loader batching path."""
+
+import time
+
+import numpy as np
+from PIL import Image
+
+from image_search_engine_tpu.utils.profiling import ServingStats, StageTimer
+from image_search_engine_tpu.utils.imageio import load_images_batched
+
+
+def test_stage_timer():
+    t = StageTimer()
+    with t.stage("a"):
+        time.sleep(0.01)
+    with t.stage("a"):
+        pass
+    with t.stage("b"):
+        pass
+    s = t.summary()
+    assert s["a"]["count"] == 2 and s["b"]["count"] == 1
+    assert s["a"]["total_s"] >= 0.01
+
+
+def test_serving_stats_percentiles():
+    st = ServingStats()
+    for ms in [1, 2, 3, 4, 100]:
+        st.record(ms / 1000)
+    st.record(0.5, error=True)
+    snap = st.snapshot()
+    assert snap["requests"] == 6 and snap["errors"] == 1
+    assert snap["latency_ms_p50"] <= snap["latency_ms_p99"]
+    assert snap["latency_ms_p99"] >= 99
+
+
+def test_load_images_batched_native_matches_pil(rng, tmp_path):
+    from image_search_engine_tpu.utils import native_loader
+
+    paths = []
+    for i in range(5):
+        a = (rng.random((40, 44, 3)) * 255).astype(np.uint8)
+        p = tmp_path / f"i{i}.png"
+        Image.fromarray(a).save(p)
+        paths.append(p)
+    (tmp_path / "bad.png").write_bytes(b"not an image")
+    paths.append(tmp_path / "bad.png")
+
+    got_pil = list(load_images_batched(paths, 4, (32, 32), use_native=False))
+    kept_pil = [i for _, idx in got_pil for i in idx]
+    assert kept_pil == [0, 1, 2, 3, 4]
+
+    if native_loader.available():
+        got_nat = list(load_images_batched(paths, 4, (32, 32), use_native=True))
+        kept_nat = [i for _, idx in got_nat for i in idx]
+        assert kept_nat == kept_pil
+        # the native resize is point-sampled half-pixel bilinear
+        # (cv2.INTER_LINEAR semantics); golden-check that exact formula
+        raw0 = np.asarray(Image.open(paths[0]), np.float32) / 255.0
+
+        def bilinear(src, dh, dw):
+            sh, sw, _ = src.shape
+            fy = (np.arange(dh) + 0.5) * sh / dh - 0.5
+            fx = (np.arange(dw) + 0.5) * sw / dw - 0.5
+            y0 = np.floor(fy).astype(int)
+            x0 = np.floor(fx).astype(int)
+            wy = (fy - y0)[:, None, None]
+            wx = (fx - x0)[None, :, None]
+            y0c, y1c = np.clip(y0, 0, sh - 1), np.clip(y0 + 1, 0, sh - 1)
+            x0c, x1c = np.clip(x0, 0, sw - 1), np.clip(x0 + 1, 0, sw - 1)
+            return (src[y0c][:, x0c] * (1 - wy) * (1 - wx)
+                    + src[y0c][:, x1c] * (1 - wy) * wx
+                    + src[y1c][:, x0c] * wy * (1 - wx)
+                    + src[y1c][:, x1c] * wy * wx)
+
+        want0 = bilinear(raw0, 32, 32)
+        nat0 = got_nat[0][0][0]
+        assert np.abs(nat0 - want0).max() < 1e-2
