@@ -36,7 +36,7 @@ class FlatIndex:
     metric_kind = "flat"
 
     def __init__(self, metric: str = "l2", mesh: Optional[Mesh] = None, axis: str = "data"):
-        if metric not in ("l2", "ip", "cosine"):
+        if metric not in ("l2", "ip", "cosine", "chi2"):
             raise ValueError(f"unsupported metric {metric!r}")
         self.metric = metric
         self.mesh = mesh
@@ -95,6 +95,8 @@ class FlatIndex:
         else:
             if use_pallas is None:
                 use_pallas = jax.default_backend() == "tpu"
+            if search_metric == "chi2":
+                use_pallas = False
             d, i = local_topk_with_norms(
                 q, self.store.vectors, self.store.norms, k_eff, search_metric, use_pallas
             )

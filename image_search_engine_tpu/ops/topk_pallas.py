@@ -349,8 +349,10 @@ def topk_twophase(
     )(qf, norms, xf)
     mins = mins.T  # (Qp, ngroups)
 
-    # Phase 2 (XLA): 2k best groups per query provably cover the top-k.
-    t = min(2 * k, ngroups)
+    # Phase 2 (XLA): the k best groups per query provably cover the exact
+    # top-k (each group holding a top-k element has min <= the k-th global
+    # distance, and at most k groups can); +4 absorbs distance ties.
+    t = min(k + 4, ngroups)
     _, cand_groups = jax.lax.top_k(-mins[:qn_rows], t)  # (Q, t)
     offsets = jnp.arange(GROUP, dtype=jnp.int32)
     flat_ids = (cand_groups[..., None] * GROUP + offsets).reshape(qn_rows, t * GROUP)

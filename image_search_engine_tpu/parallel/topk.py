@@ -38,9 +38,17 @@ def local_topk_with_norms(
     ip descending) and local row indices.
     """
     if use_pallas:
-        from image_search_engine_tpu.ops.topk_pallas import topk_pallas
+        from image_search_engine_tpu.ops.topk_pallas import topk_twophase
 
-        return topk_pallas(q, x, k, metric, x_norms=norms)
+        return topk_twophase(q, x, k, metric, x_norms=norms)
+    if metric == "chi2":
+        from image_search_engine_tpu.ops.distances import pairwise_chi2
+
+        s = pairwise_chi2(q, x)
+        penalty = jnp.where(norms >= PAD_NORM / 2, PAD_NORM, 0.0)
+        s = s + penalty[None, :]
+        vals, idx = jax.lax.top_k(-s, k)
+        return -vals, idx
     cross = jnp.dot(q, x.T, preferred_element_type=jnp.float32)
     if metric == "l2":
         qn = jnp.sum(q * q, axis=1, keepdims=True)
@@ -83,6 +91,8 @@ def distributed_topk(
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
+    if metric == "chi2":
+        use_pallas = False  # elementwise metric; no fused kernel (yet)
     n_shards = mesh.shape[axis]
     rows_per_shard = x_sharded.shape[0] // n_shards
     descending = metric == "ip"

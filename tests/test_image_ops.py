@@ -95,3 +95,30 @@ def test_hamming_topk_self_is_zero(rng):
     d, i = DH.hamming_topk(db[:2], db, 1)
     np.testing.assert_array_equal(i[:, 0], [0, 1])
     np.testing.assert_array_equal(d[:, 0], [0, 0])
+
+
+def test_color_moment_hash_invariance(rng):
+    from image_search_engine_tpu.ops.color_moment_hash import color_moment_hash
+    from scipy.ndimage import gaussian_filter
+
+    a = gaussian_filter(rng.random((32, 32, 3)), (4, 4, 0)).astype(np.float32)
+    b = np.roll(a, (3, 5), axis=(0, 1))  # translation: Hu moments invariant
+    c = gaussian_filter(rng.random((32, 32, 3)), (4, 4, 0)).astype(np.float32)
+    h = np.asarray(color_moment_hash(np.stack([a, b, c])))
+    assert h.shape == (3, 42)
+    d_ab = np.abs(h[0] - h[1]).sum()
+    d_ac = np.abs(h[0] - h[2]).sum()
+    assert d_ab < d_ac
+
+
+def test_chi2_flat_index(rng):
+    from image_search_engine_tpu.index.flat import FlatIndex
+    from tests.test_distances import brute_topk
+
+    x = np.abs(rng.standard_normal((80, 16))).astype(np.float32)
+    q = np.abs(rng.standard_normal((4, 16))).astype(np.float32)
+    idx = FlatIndex("chi2").add(x)
+    d, i = idx.search(q, 5)
+    bd, bi = brute_topk(q, x, 5, "chi2")
+    np.testing.assert_array_equal(i, bi)
+    np.testing.assert_allclose(d, bd, rtol=1e-4, atol=1e-4)
