@@ -275,6 +275,34 @@ def _groupmin_kernel(q_ref, xn_ref, x_ref, out_ref, *, tile_n: int):
     out_ref[:] = jnp.stack(mins, axis=0)  # (tile_n//GROUP, Qp)
 
 
+def _groupmin_kernel_q8(q_ref, xn_ref, scale_ref, x_ref, out_ref, *, tile_n: int):
+    """Phase-1 variant for an int8-quantized store: the tile is DMA'd as
+    int8 (4x less HBM traffic than f32), cast to bf16 in VMEM, and the
+    per-row dequant scale folds into the score epilogue."""
+    xd = x_ref[:].astype(jnp.bfloat16)
+    cross = jax.lax.dot_general(
+        q_ref[:],
+        xd,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (Qp, tile_n)
+    scores = xn_ref[:][None, :] - 2.0 * cross * scale_ref[:][None, :]
+    mins = []
+    for g in range(tile_n // GROUP):
+        mins.append(jnp.min(scores[:, g * GROUP : (g + 1) * GROUP], axis=1))
+    out_ref[:] = jnp.stack(mins, axis=0)
+
+
+def quantize_store_int8(x) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric per-row int8 quantization: returns (codes (N, d) int8,
+    scales (N,) f32) with x ~= codes * scales[:, None]."""
+    x = jnp.asarray(x, jnp.float32)
+    amax = jnp.max(jnp.abs(x), axis=1)
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    codes = jnp.clip(jnp.round(x / scale[:, None]), -127, 127).astype(jnp.int8)
+    return codes, scale
+
+
 @functools.partial(
     jax.jit, static_argnames=("k", "metric", "tile_n", "interpret")
 )
@@ -285,16 +313,29 @@ def topk_twophase(
     metric: str = "l2",
     *,
     x_norms: Optional[jnp.ndarray] = None,
+    x_scale: Optional[jnp.ndarray] = None,
     tile_n: int = 4096,
     interpret: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact k-NN via grouped-min sweep + candidate rescan. Same contract
     as ``topk_flat``/``topk_pallas``. Scales to large query batches: the
-    phase-1 Pallas kernel is one matmul + one reduction pass per tile."""
+    phase-1 Pallas kernel is one matmul + one reduction pass per tile.
+
+    Store dtype controls the sweep's HBM traffic: float32, bfloat16, or
+    int8 (pass ``x_scale`` (N,) per-row dequant scales — phase-1 scans the
+    quantized values, so at int8 the group-min selection is approximate to
+    quantization error while the candidate margin (+4 groups) and the
+    phase-2 rescore keep recall@k ~1 in practice).
+    """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
+    is_int8 = x.dtype == jnp.int8
+    if is_int8 and x_scale is None:
+        raise ValueError("int8 store requires x_scale")
     if metric == "cosine":
+        if is_int8:
+            raise ValueError("pre-normalize rows and use metric='ip' with int8")
         from image_search_engine_tpu.ops.distances import l2_normalize
 
         q = l2_normalize(q)
@@ -307,21 +348,35 @@ def topk_twophase(
     n = x.shape[0]
     dp = _round_up(d, 128)
     # bf16 tiles want 16-row sublane alignment
-    qp = _round_up(qn_rows, 16 if x.dtype == jnp.bfloat16 else 8)
+    qp = _round_up(qn_rows, 16 if x.dtype != jnp.float32 else 8)
     tile_n = min(tile_n, _round_up(n, GROUP))
     npad = _round_up(n, tile_n)
     ngroups = npad // GROUP
 
-    # Keep the store's dtype: a bfloat16 store halves HBM traffic (the
-    # sweep's bound) at equal recall in practice; accumulation stays f32.
-    store_dt = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
-    qf = jnp.pad(q.astype(store_dt), ((0, qp - qn_rows), (0, dp - d)))
-    xf = jnp.pad(x.astype(store_dt), ((0, npad - n), (0, dp - d)))
+    # Keep the store's dtype: a bfloat16/int8 store cuts HBM traffic (the
+    # sweep's bound) 2x/4x at equal recall in practice; accumulation is f32.
+    if is_int8:
+        store_dt = jnp.bfloat16  # query dtype for the mixed matmul
+        qf = jnp.pad(q.astype(store_dt), ((0, qp - qn_rows), (0, dp - d)))
+        xf = jnp.pad(x, ((0, npad - n), (0, dp - d)))
+        scale_pad = jnp.pad(jnp.asarray(x_scale, jnp.float32), (0, npad - n))
+    else:
+        store_dt = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+        qf = jnp.pad(q.astype(store_dt), ((0, qp - qn_rows), (0, dp - d)))
+        xf = jnp.pad(x.astype(store_dt), ((0, npad - n), (0, dp - d)))
+        scale_pad = None
 
     from image_search_engine_tpu.parallel.topk import PAD_NORM
 
     if metric == "l2":
-        norms = jnp.sum(x.astype(jnp.float32) * x, axis=1) if x_norms is None else x_norms
+        if x_norms is None:
+            if is_int8:
+                deq = x.astype(jnp.float32) * jnp.asarray(x_scale, jnp.float32)[:, None]
+                norms = jnp.sum(deq * deq, axis=1)
+            else:
+                norms = jnp.sum(x.astype(jnp.float32) * x, axis=1)
+        else:
+            norms = x_norms
     else:
         # IP: poisoned-pad penalty only; real norms must not shift scores
         if x_norms is None:
@@ -333,20 +388,37 @@ def topk_twophase(
     norms = jnp.pad(norms, (0, npad - n), constant_values=PAD_NORM)
 
     grid = (npad // tile_n,)
-    mins = pl.pallas_call(
-        functools.partial(_groupmin_kernel, tile_n=tile_n),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((qp, dp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n,), lambda i: (i,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, dp), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (tile_n // GROUP, qp), lambda i: (i, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((ngroups, qp), jnp.float32),
-        interpret=interpret,
-    )(qf, norms, xf)
+    out_spec = pl.BlockSpec(
+        (tile_n // GROUP, qp), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    out_shape = jax.ShapeDtypeStruct((ngroups, qp), jnp.float32)
+    if is_int8:
+        mins = pl.pallas_call(
+            functools.partial(_groupmin_kernel_q8, tile_n=tile_n),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((qp, dp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_n,), lambda i: (i,), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_n,), lambda i: (i,), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_n, dp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=out_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(qf, norms, scale_pad, xf)
+    else:
+        mins = pl.pallas_call(
+            functools.partial(_groupmin_kernel, tile_n=tile_n),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((qp, dp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_n,), lambda i: (i,), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_n, dp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=out_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(qf, norms, xf)
     mins = mins.T  # (Qp, ngroups)
 
     # Phase 2 (XLA): the k best groups per query provably cover the exact
@@ -357,6 +429,12 @@ def topk_twophase(
     offsets = jnp.arange(GROUP, dtype=jnp.int32)
     flat_ids = (cand_groups[..., None] * GROUP + offsets).reshape(qn_rows, t * GROUP)
     vecs = xf[flat_ids]  # (Q, C, dp) gather
+    if is_int8:
+        # dequantize candidates for the full-precision rescore
+        vecs = vecs.astype(jnp.float32) * scale_pad[flat_ids][..., None]
+        qf = jnp.pad(q.astype(jnp.float32), ((0, qp - qn_rows), (0, dp - d)))
+        if metric == "ip":
+            qf = qf * 0.5
     cn = norms[flat_ids]  # poisoned at pads
     if metric == "l2":
         cross = jnp.einsum("qd,qcd->qc", qf[:qn_rows], vecs,

@@ -88,3 +88,20 @@ def test_topk_twophase_small_store(rng):
     pd, pi = topk_twophase(qv, xv, 5, "l2")
     rd, ri = D.topk_flat(qv, xv, 5, "l2")
     np.testing.assert_array_equal(np.asarray(pi), np.asarray(ri))
+
+
+def test_topk_twophase_int8_store(rng):
+    from image_search_engine_tpu.ops.topk_pallas import quantize_store_int8, topk_twophase
+
+    xv = rng.standard_normal((2000, 64)).astype(np.float32)
+    qv = rng.standard_normal((16, 64)).astype(np.float32)
+    codes, scale = quantize_store_int8(xv)
+    deq = np.asarray(codes).astype(np.float32) * np.asarray(scale)[:, None]
+    np.testing.assert_allclose(deq, xv, atol=np.abs(xv).max() / 100)
+
+    pd, pi = topk_twophase(qv, codes, 10, "l2", x_scale=scale, tile_n=512)
+    rd, ri = D.topk_flat(qv, xv, 10, "l2")
+    # int8 sweep + f32 rescore: near-perfect recall vs the f32 exact search
+    pi, ri = np.asarray(pi), np.asarray(ri)
+    recall = np.mean([len(set(a) & set(b)) / 10 for a, b in zip(pi.tolist(), ri.tolist())])
+    assert recall >= 0.95, recall
