@@ -277,13 +277,14 @@ def parse_args(argv=None) -> Config:
     ap.add_argument("--dnn-model", default="resnet50")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=5000)
+    ap.add_argument("--resize-size", type=int, default=224)
     a = ap.parse_args(argv)
     from image_search_engine_tpu.config import DnnModel
 
     return Config(
         artifacts_dir=a.artifacts_dir, method=Method(a.method),
         index_type=IndexType(a.index_type), dnn_model=DnnModel(a.dnn_model),
-        host=a.host, port=a.port,
+        host=a.host, port=a.port, resize_size=a.resize_size,
     )
 
 

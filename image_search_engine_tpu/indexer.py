@@ -136,6 +136,7 @@ def parse_args(argv=None) -> Config:
     ap.add_argument("--num-clusters", type=int, default=200)
     ap.add_argument("--cluster-grid-search", action="store_true")
     ap.add_argument("--batch-size", type=int, default=64)
+    ap.add_argument("--resize-size", type=int, default=224)
     a = ap.parse_args(argv)
     from image_search_engine_tpu.config import DnnModel
 
@@ -145,7 +146,7 @@ def parse_args(argv=None) -> Config:
         dnn_model=DnnModel(a.dnn_model),
         corner_descriptor=CornerDescriptorKind(a.corner_descriptor),
         num_clusters=a.num_clusters, use_cluster_grid_search=a.cluster_grid_search,
-        embed_batch_size=a.batch_size,
+        embed_batch_size=a.batch_size, resize_size=a.resize_size,
     )
 
 

@@ -325,7 +325,9 @@ def topk_twophase(
     int8 (pass ``x_scale`` (N,) per-row dequant scales — phase-1 scans the
     quantized values, so at int8 the group-min selection is approximate to
     quantization error while the candidate margin (+4 groups) and the
-    phase-2 rescore keep recall@k ~1 in practice).
+    phase-2 rescore keep recall@k ~1 in practice). Measured on v5e: bf16 is
+    the fastest (the in-kernel int8->bf16 cast costs a Mosaic retiling that
+    outweighs the DMA savings); int8 is a memory-capacity option.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
