@@ -133,6 +133,11 @@ def test_http_contract(corpus_dir):
         dist, thumb, path = js["prediction"][0]
         assert path == engine.paths[0] and dist < 0.05 and thumb
 
+        # serving stats recorded the query
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/stats") as r:
+            stats = json.load(r)
+        assert stats["requests"] >= 1 and stats["latency_ms_p50"] is not None
+
         # 400 on missing upload (reference engine.py:72-73)
         req = urllib.request.Request(f"http://127.0.0.1:{port}/similar_images", data=b"")
         try:
