@@ -80,3 +80,34 @@ def test_ivfpq_save_load(corpus, tmp_path):
     d1, i1 = pq.search(q, 5)
     d2, i2 = pq2.search(q, 5)
     np.testing.assert_array_equal(i1, i2)
+
+
+def test_sharded_ivf_matches_unsharded(corpus):
+    from image_search_engine_tpu.parallel.ivf import ShardedIVF
+    from image_search_engine_tpu.parallel.mesh import make_mesh
+
+    x, q = corpus
+    mesh = make_mesh(8)
+    ivf = IVFIndex(nlist=16, nprobe=16).add(x)  # full probe -> exact
+    sharded = ShardedIVF.from_components(x, ivf.centroids, nprobe=16, mesh=mesh)
+    d1, i1 = ivf.search(q, 10)
+    d2, i2 = sharded.search(q, 10)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(d1, d2, rtol=1e-3, atol=1e-3)
+
+
+def test_sharded_ivf_partial_probe_recall(corpus):
+    from image_search_engine_tpu.parallel.ivf import ShardedIVF
+    from image_search_engine_tpu.parallel.mesh import make_mesh
+
+    x, q = corpus
+    mesh = make_mesh(8)
+    ivf = IVFIndex(nlist=16, nprobe=5).add(x)
+    sharded = ShardedIVF.from_components(x, ivf.centroids, nprobe=5, mesh=mesh)
+    flat = FlatIndex("l2").add(x)
+    _, si = sharded.search(q, 10)
+    _, fi = flat.search(q, 10)
+    assert recall_at_k(si, fi) >= 0.95
+    # sharded and unsharded IVF probe the same cells -> identical results
+    _, ui = ivf.search(q, 10)
+    np.testing.assert_array_equal(si, ui)
