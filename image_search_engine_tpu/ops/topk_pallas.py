@@ -275,18 +275,22 @@ def _groupmin_kernel(q_ref, xn_ref, x_ref, out_ref, *, tile_n: int):
     out_ref[:] = jnp.stack(mins, axis=0)  # (tile_n//GROUP, Qp)
 
 
-def _groupmin_kernel_q8(q_ref, xn_ref, scale_ref, x_ref, out_ref, *, tile_n: int):
-    """Phase-1 variant for an int8-quantized store: the tile is DMA'd as
-    int8 (4x less HBM traffic than f32), cast to bf16 in VMEM, and the
-    per-row dequant scale folds into the score epilogue."""
-    xd = x_ref[:].astype(jnp.bfloat16)
+def _groupmin_kernel_q8(q_ref, qs_ref, xn_ref, scale_ref, x_ref, out_ref, *, tile_n: int):
+    """Phase-1 variant for an int8-quantized store: int8 queries x int8
+    tile on the MXU's native int8 path (no in-kernel dtype cast of the big
+    tile — a bf16 cast forces a Mosaic retiling that costs more than the
+    DMA savings); the per-row dequant scales fold into the f32 epilogue on
+    the small (Q, tile) result."""
     cross = jax.lax.dot_general(
         q_ref[:],
-        xd,
+        x_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (Qp, tile_n)
-    scores = xn_ref[:][None, :] - 2.0 * cross * scale_ref[:][None, :]
+        preferred_element_type=jnp.int32,
+    )  # (Qp, tile_n) int32
+    scores = (
+        xn_ref[:][None, :]
+        - cross.astype(jnp.float32) * (2.0 * qs_ref[:][:, None] * scale_ref[:][None, :])
+    )
     mins = []
     for g in range(tile_n // GROUP):
         mins.append(jnp.min(scores[:, g * GROUP : (g + 1) * GROUP], axis=1))
@@ -349,8 +353,9 @@ def topk_twophase(
     qn_rows, d = q.shape
     n = x.shape[0]
     dp = _round_up(d, 128)
-    # bf16 tiles want 16-row sublane alignment
-    qp = _round_up(qn_rows, 16 if x.dtype != jnp.float32 else 8)
+    # bf16 tiles want 16-row sublane alignment; int8 wants 32 (and the
+    # query-scale vector wants a 128-wide lane dim)
+    qp = _round_up(qn_rows, 128 if is_int8 else (16 if x.dtype != jnp.float32 else 8))
     tile_n = min(tile_n, _round_up(n, GROUP))
     npad = _round_up(n, tile_n)
     ngroups = npad // GROUP
@@ -358,8 +363,15 @@ def topk_twophase(
     # Keep the store's dtype: a bfloat16/int8 store cuts HBM traffic (the
     # sweep's bound) 2x/4x at equal recall in practice; accumulation is f32.
     if is_int8:
-        store_dt = jnp.bfloat16  # query dtype for the mixed matmul
-        qf = jnp.pad(q.astype(store_dt), ((0, qp - qn_rows), (0, dp - d)))
+        # quantize queries per-row too: the int8 x int8 dot rides the MXU's
+        # native int8 path with no in-kernel cast of the streamed tile
+        q32 = q.astype(jnp.float32)
+        sq = jnp.maximum(jnp.max(jnp.abs(q32), axis=1), 1e-12) / 127.0
+        q_int = jnp.clip(jnp.round(q32 / sq[:, None]), -127, 127).astype(jnp.int8)
+        qf = jnp.pad(q_int, ((0, qp - qn_rows), (0, dp - d)))
+        qs_pad = jnp.pad(sq, (0, qp - qn_rows))
+        if metric == "ip":
+            qs_pad = qs_pad * 0.5  # epilogue multiplies by 2*qs*scale
         xf = jnp.pad(x, ((0, npad - n), (0, dp - d)))
         scale_pad = jnp.pad(jnp.asarray(x_scale, jnp.float32), (0, npad - n))
     else:
@@ -385,7 +397,8 @@ def topk_twophase(
             norms = jnp.zeros((n,), jnp.float32)
         else:
             norms = jnp.where(x_norms >= PAD_NORM / 2, jnp.float32(PAD_NORM), 0.0)
-        qf = qf * 0.5
+        if not is_int8:
+            qf = qf * 0.5  # int8 folds the 0.5 into the query scales
     # wrapper's own padding rows: poison so they never enter candidates
     norms = jnp.pad(norms, (0, npad - n), constant_values=PAD_NORM)
 
@@ -400,6 +413,7 @@ def topk_twophase(
             grid=grid,
             in_specs=[
                 pl.BlockSpec((qp, dp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((qp,), lambda i: (0,), memory_space=pltpu.VMEM),
                 pl.BlockSpec((tile_n,), lambda i: (i,), memory_space=pltpu.VMEM),
                 pl.BlockSpec((tile_n,), lambda i: (i,), memory_space=pltpu.VMEM),
                 pl.BlockSpec((tile_n, dp), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -407,7 +421,7 @@ def topk_twophase(
             out_specs=out_spec,
             out_shape=out_shape,
             interpret=interpret,
-        )(qf, norms, scale_pad, xf)
+        )(qf, qs_pad, norms, scale_pad, xf)
     else:
         mins = pl.pallas_call(
             functools.partial(_groupmin_kernel, tile_n=tile_n),
