@@ -75,3 +75,30 @@ def test_load_images_batched_native_matches_pil(rng, tmp_path):
         want0 = bilinear(raw0, 32, 32)
         nat0 = got_nat[0][0][0]
         assert np.abs(nat0 - want0).max() < 1e-2
+
+
+def test_orbax_pytree_roundtrip(rng, tmp_path):
+    import jax.numpy as jnp
+
+    from image_search_engine_tpu.utils.checkpoint import load_pytree, save_pytree
+
+    tree = {"w": jnp.asarray(rng.standard_normal((4, 4)), jnp.float32),
+            "nested": {"b": jnp.arange(3)}}
+    save_pytree(tmp_path / "ckpt", tree)
+    back = load_pytree(tmp_path / "ckpt", tree)
+    np.testing.assert_allclose(np.asarray(back["w"]), np.asarray(tree["w"]))
+    np.testing.assert_array_equal(np.asarray(back["nested"]["b"]), [0, 1, 2])
+
+
+def test_orbax_manager_retention(rng, tmp_path):
+    import jax.numpy as jnp
+
+    from image_search_engine_tpu.utils.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(tmp_path / "mgr", max_to_keep=2)
+    for step in range(4):
+        mgr.save(step, {"v": jnp.full((2,), float(step))})
+    assert mgr.latest_step == 3
+    back = mgr.restore()
+    np.testing.assert_allclose(np.asarray(back["v"]), [3.0, 3.0])
+    mgr.close()
