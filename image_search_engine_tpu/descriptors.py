@@ -173,11 +173,19 @@ def describe_dataset(
       (features, valid_or_None, kept) where ``kept`` are the indices of
       paths that decoded successfully (error-skip parity).
     """
+    import hashlib
+
+    corpus_key = hashlib.sha256(
+        ("\n".join(str(p) for p in paths) + f"|{image_size}").encode()
+    ).hexdigest()
     if cache_path is not None and Path(cache_path).exists():
         z = np.load(cache_path, allow_pickle=False)
-        log.info("loaded cached descriptions from %s", cache_path)
-        valid = z["valid"] if "valid" in z.files else None
-        return z["features"], valid, z["kept"]
+        cached_key = str(z["corpus_key"]) if "corpus_key" in z.files else ""
+        if cached_key == corpus_key:
+            log.info("loaded cached descriptions from %s", cache_path)
+            valid = z["valid"] if "valid" in z.files else None
+            return z["features"], valid, z["kept"]
+        log.info("description cache %s is stale (corpus changed); rebuilding", cache_path)
 
     feats, valids, kept = [], [], []
     for batch, idx in load_images_batched(paths, batch_size, (image_size, image_size)):
@@ -192,7 +200,8 @@ def describe_dataset(
 
     if cache_path is not None:
         Path(cache_path).parent.mkdir(parents=True, exist_ok=True)
-        payload = {"features": features, "kept": kept}
+        payload = {"features": features, "kept": kept,
+                   "corpus_key": np.array(corpus_key)}
         if valid is not None:
             payload["valid"] = valid
         np.savez_compressed(cache_path, **payload)

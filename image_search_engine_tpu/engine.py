@@ -47,6 +47,23 @@ Prediction = List[Tuple[float, str, str]]  # (distance, b64 thumb, path)
 # --------------------------------------------------------------------------
 
 
+
+def _resize_host(image: np.ndarray, size: int) -> np.ndarray:
+    """Host-side PIL resize to the index-build resolution.
+
+    Done OUTSIDE jit so the compiled query path sees one static shape for
+    any upload resolution — and with the same resampler the indexer's
+    loader used, so a corpus image queried against itself matches bit-for-
+    bit (host-vs-device resampling differ slightly)."""
+    if image.shape[:2] == (size, size):
+        return np.asarray(image, np.float32)
+    from PIL import Image as _Image
+
+    im = _Image.fromarray((np.clip(image, 0.0, 1.0) * 255).astype(np.uint8))
+    im = im.resize((size, size), _Image.BILINEAR)
+    return np.asarray(im, np.float32) / 255.0
+
+
 class QueryEngine:
     """Image -> ranked (distance, path) results for one configured method."""
 
@@ -79,9 +96,12 @@ class QueryEngine:
                 cfg.dnn_model.value, image_size=cfg.resize_size, batch_size=1, mesh=mesh
             )
             index = self._load_index(cfg.dnn_index_path, cfg, mesh)
+            s = cfg.resize_size
 
             def search(image: np.ndarray, k: int):
-                feat = embedder.embed_batch(image[None])
+                # resize BEFORE the jitted embed so the backbone compiles
+                # once for (1, s, s, 3) instead of per upload resolution
+                feat = embedder.embed_batch(_resize_host(image, s)[None])
                 return index.search(feat, k)
 
             return search
@@ -90,7 +110,6 @@ class QueryEngine:
             from image_search_engine_tpu.bovw.pipeline import BoVWPipeline
             from image_search_engine_tpu.descriptors import make_descriptor
             from image_search_engine_tpu.index.flat import FlatIndex
-            from image_search_engine_tpu.ops.image_ops import resize
 
             pipeline = BoVWPipeline.load(cfg.bovw_pipeline_path)
             descriptor = make_descriptor(cfg)
@@ -100,7 +119,7 @@ class QueryEngine:
             def search(image: np.ndarray, k: int):
                 # match the index-build image size (descriptor grids/keypoint
                 # budgets are resolution-dependent)
-                img = np.asarray(resize(image, s, s))
+                img = _resize_host(image, s)
                 feats, valid = descriptor.describe_batch(img[None])
                 hist = pipeline.transform(feats, valid)
                 return index.search(hist.astype(np.float32), k)
@@ -109,7 +128,7 @@ class QueryEngine:
 
         if cfg.method == Method.DHASH:
             from image_search_engine_tpu.ops.dhash import dhash_bits, hamming_topk
-            from image_search_engine_tpu.ops.image_ops import resize, rgb_to_gray
+            from image_search_engine_tpu.ops.image_ops import rgb_to_gray
 
             z = np.load(cfg.dhash_store_path, allow_pickle=False)
             bits = z["bits"]
@@ -118,7 +137,7 @@ class QueryEngine:
             def search(image: np.ndarray, k: int):
                 import jax.numpy as jnp
 
-                img = resize(jnp.asarray(image, jnp.float32), s, s)
+                img = jnp.asarray(_resize_host(image, s))
                 qb = dhash_bits(rgb_to_gray(img[None]))
                 d, i = hamming_topk(np.asarray(qb), bits, min(k, bits.shape[0]))
                 return np.asarray(d), np.asarray(i)

@@ -69,8 +69,9 @@ class FlatIndex:
     ) -> Tuple[np.ndarray, np.ndarray]:
         """k-NN search; returns (distances (Q, k), indices (Q, k)).
 
-        Distances ascending for l2, descending for ip/cosine — matching
-        Faiss. Indices of padding rows never appear (pad norms poisoned).
+        Distances ascending for l2/chi2, descending for ip/cosine —
+        matching Faiss. Indices of padding rows never appear; when
+        k > ntotal the tail is filled with (-1, +/-inf), Faiss style.
         """
         assert self.store is not None, "add() vectors first"
         q = jnp.asarray(q, jnp.float32)
@@ -80,7 +81,7 @@ class FlatIndex:
         if self.metric == "cosine":
             q = l2_normalize(q)
             search_metric = "ip"
-        k_eff = min(k, self.store.n_padded)
+        k_eff = min(k, self.store.n)
         if self.mesh is not None:
             d, i = distributed_topk(
                 q,
@@ -100,7 +101,13 @@ class FlatIndex:
             d, i = local_topk_with_norms(
                 q, self.store.vectors, self.store.norms, k_eff, search_metric, use_pallas
             )
-        return np.asarray(d)[:, :k], np.asarray(i)[:, :k]
+        d, i = np.array(d)[:, :k], np.array(i)[:, :k]
+        if d.shape[1] < k:  # k > ntotal: pad with Faiss's (-1, worst) tail
+            pad = k - d.shape[1]
+            worst = -np.inf if search_metric == "ip" else np.inf
+            d = np.pad(d, ((0, 0), (0, pad)), constant_values=worst)
+            i = np.pad(i, ((0, 0), (0, pad)), constant_values=-1)
+        return d, i
 
     # -- serialization (replaces faiss.write_index/read_index) ---------------
     def save(self, path: str | Path) -> None:

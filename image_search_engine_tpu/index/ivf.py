@@ -48,6 +48,21 @@ def _pad_results(d: np.ndarray, i: np.ndarray, k: int):
     return d, i
 
 
+def _build_lists(codes: np.ndarray, nlist: int, row_offset: int = 0) -> np.ndarray:
+    """Vectorized padded inverted-list construction: O(N log N) NumPy
+    (stable argsort + per-cluster slicing) instead of a per-row Python
+    loop. Rows get ``row_offset`` added (global ids for sharded lists)."""
+    counts = np.bincount(codes, minlength=nlist)
+    max_list = _round_up(max(int(counts.max(initial=0)), 1), 8)
+    lists = np.full((nlist, max_list), -1, np.int32)
+    order = np.argsort(codes, kind="stable")
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    for c in range(nlist):
+        rows = order[starts[c] : starts[c + 1]]
+        lists[c, : len(rows)] = rows + row_offset
+    return lists
+
+
 @functools.partial(jax.jit, static_argnames=("k", "nprobe", "max_list"))
 def _ivf_search_kernel(
     q, centroids, lists, list_valid, rows, k: int, nprobe: int, max_list: int
@@ -128,15 +143,8 @@ class IVFIndex:
         self.centroids = km.cluster_centers_
         codes = km.transform(x)[:, 0]
 
-        counts = np.bincount(codes, minlength=self.nlist)
-        max_list = _round_up(max(int(counts.max()), 1), 8)
-        lists = np.full((self.nlist, max_list), -1, np.int32)
-        fill = np.zeros(self.nlist, np.int64)
-        for row, c in enumerate(codes):
-            lists[c, fill[c]] = row
-            fill[c] += 1
-        self.lists = lists
-        self.list_valid = lists >= 0
+        self.lists = _build_lists(codes, self.nlist)
+        self.list_valid = self.lists >= 0
         return self
 
     def search(self, q: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -151,7 +159,16 @@ class IVFIndex:
         )
         d, i, ok = np.array(d), np.array(i), np.array(ok)
         i[~ok] = -1  # faiss returns -1 when probes hold < k candidates
-        return _pad_results(d, i, k)
+        return self._finish(d, i, k)
+
+    def _finish(self, d: np.ndarray, i: np.ndarray, k: int):
+        d, i = _pad_results(d, i, k)
+        if self.metric == "cosine":
+            # rows were L2-normalized, so L2^2 = 2 - 2*cos: convert to the
+            # descending similarity FlatIndex("cosine") returns (one metric
+            # name, one semantics across index types)
+            d = np.where(i >= 0, 1.0 - d / 2.0, -np.inf)
+        return d, i
 
     def save(self, path: str | Path) -> None:
         np.savez_compressed(
@@ -236,6 +253,15 @@ class IVFPQIndex(IVFIndex):
         self.m = m
         self.pq_books: Optional[np.ndarray] = None  # (m, 256, dsub)
         self.codes: Optional[np.ndarray] = None  # (N, m) uint8
+        self._ntotal: Optional[int] = None  # set when loaded without raw vectors
+
+    @property
+    def ntotal(self) -> int:
+        if self.vectors is not None:
+            return self.vectors.shape[0]
+        if self._ntotal is not None:
+            return self._ntotal
+        return 0 if self.codes is None else self.codes.shape[0]
 
     def add(self, x: np.ndarray) -> "IVFPQIndex":
         super().add(x)  # coarse quantizer + lists (keeps raw vectors for recall tests)
@@ -275,21 +301,30 @@ class IVFPQIndex(IVFIndex):
         )
         d, i, ok = np.array(d), np.array(i), np.array(ok)
         i[~ok] = -1
-        return _pad_results(d, i, k)
+        return self._finish(d, i, k)
 
-    def save(self, path: str | Path) -> None:
-        np.savez_compressed(
-            path, vectors=self.vectors, centroids=self.centroids, lists=self.lists,
+    def save(self, path: str | Path, store_raw: bool = False) -> None:
+        # PQ is the compressed index: raw vectors are NOT saved by default
+        # (search needs only centroids/lists/codes/books, N*m bytes - the
+        # class's stated memory win); store_raw=True keeps them for recall
+        # evaluation.
+        payload = dict(
+            centroids=self.centroids, lists=self.lists,
             metric=np.array(self.metric), nprobe=np.int64(self.nprobe),
             kind=np.array(self.metric_kind), pq_books=self.pq_books, codes=self.codes,
+            ntotal=np.int64(self.ntotal),
         )
+        if store_raw:
+            payload["vectors"] = self.vectors
+        np.savez_compressed(path, **payload)
 
     @classmethod
     def load(cls, path: str | Path, mesh: Optional[Mesh] = None) -> "IVFPQIndex":
         z = np.load(path, allow_pickle=False)
         self = cls(metric=str(z["metric"]), nlist=z["centroids"].shape[0],
                    nprobe=int(z["nprobe"]), m=z["codes"].shape[1], mesh=mesh)
-        self.vectors = z["vectors"]
+        self.vectors = z["vectors"] if "vectors" in z.files else None
+        self._ntotal = int(z["ntotal"]) if "ntotal" in z.files else None
         self.centroids = z["centroids"]
         self.lists = z["lists"]
         self.list_valid = self.lists >= 0

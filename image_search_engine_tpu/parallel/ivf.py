@@ -65,21 +65,18 @@ class ShardedIVF:
         xp[:n] = x
         codes = np.asarray(assign_jax(jnp.asarray(x), jnp.asarray(centroids))[0])
 
-        # per-shard inverted lists over local rows (global row ids)
-        max_l = 8
-        shard_lists = []
-        for si in range(s):
-            lo, hi = si * r, min((si + 1) * r, n)
-            local_codes = codes[lo:hi]
-            counts = np.bincount(local_codes, minlength=nlist)
-            max_l = max(max_l, _round_up(max(int(counts.max(initial=0)), 1), 8))
-            shard_lists.append((lo, local_codes))
+        # per-shard inverted lists over local rows (global row ids),
+        # vectorized via the shared argsort builder, padded to a common width
+        from image_search_engine_tpu.index.ivf import _build_lists
+
+        per_shard = [
+            _build_lists(codes[si * r : min((si + 1) * r, n)], nlist, row_offset=si * r)
+            for si in range(s)
+        ]
+        max_l = max(8, max(l.shape[1] for l in per_shard))
         lists = np.full((s, nlist, max_l), -1, np.int32)
-        for si, (lo, local_codes) in enumerate(shard_lists):
-            fill = np.zeros(nlist, np.int64)
-            for off, c in enumerate(local_codes):
-                lists[si, c, fill[c]] = lo + off  # global row id
-                fill[c] += 1
+        for si, l in enumerate(per_shard):
+            lists[si, :, : l.shape[1]] = l
 
         self.centroids = jax.device_put(jnp.asarray(centroids, jnp.float32),
                                         NamedSharding(mesh, P()))

@@ -97,16 +97,20 @@ def distributed_topk(
     rows_per_shard = x_sharded.shape[0] // n_shards
     descending = metric == "ip"
 
+    # a shard can hold fewer rows than k
+    k_local = min(k, rows_per_shard)
+    k_final = min(k, n_shards * k_local)
+
     def shard_fn(qr, x_local, norms_local):
         base = jax.lax.axis_index(axis) * rows_per_shard
-        d, i = local_topk_with_norms(qr, x_local, norms_local, k, metric, use_pallas)
+        d, i = local_topk_with_norms(qr, x_local, norms_local, k_local, metric, use_pallas)
         i = i + base
-        d_all = jax.lax.all_gather(d, axis)  # (S, Q, k)
+        d_all = jax.lax.all_gather(d, axis)  # (S, Q, k_local)
         i_all = jax.lax.all_gather(i, axis)
-        d_cat = jnp.swapaxes(d_all, 0, 1).reshape(qr.shape[0], -1)  # (Q, S*k)
+        d_cat = jnp.swapaxes(d_all, 0, 1).reshape(qr.shape[0], -1)  # (Q, S*k_local)
         i_cat = jnp.swapaxes(i_all, 0, 1).reshape(qr.shape[0], -1)
         s = d_cat if descending else -d_cat
-        vals, pos = jax.lax.top_k(s, k)
+        vals, pos = jax.lax.top_k(s, k_final)
         idx = jnp.take_along_axis(i_cat, pos, axis=1)
         return (vals if descending else -vals), idx
 

@@ -45,16 +45,20 @@ class PairsGenerator:
         return max(1, len(self.paths) // self.batch_size)
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        import concurrent.futures as cf
+
         n = len(self.paths)
-        while True:
-            anchor_idx = self.rng.integers(0, n, self.batch_size)
-            # negative: any *other* random file (dataset.py:103-105)
-            offset = self.rng.integers(1, n, self.batch_size)
-            negative_idx = (anchor_idx + offset) % n
-            anchors = np.stack(
-                [load_image(self.paths[i], self.image_size) for i in anchor_idx]
-            )
-            negatives = np.stack(
-                [load_image(self.paths[i], self.image_size) for i in negative_idx]
-            )
-            yield anchors, negatives
+        with cf.ThreadPoolExecutor(8) as pool:
+            while True:
+                anchor_idx = self.rng.integers(0, n, self.batch_size)
+                # negative: any *other* random file (dataset.py:103-105)
+                offset = self.rng.integers(1, n, self.batch_size)
+                negative_idx = (anchor_idx + offset) % n
+                idx = np.concatenate([anchor_idx, negative_idx])
+                # decode the whole pair batch in parallel threads (the PIL
+                # decode releases the GIL); keeps the device fed
+                imgs = list(pool.map(
+                    lambda i: load_image(self.paths[i], self.image_size), idx
+                ))
+                both = np.stack(imgs)
+                yield both[: self.batch_size], both[self.batch_size :]

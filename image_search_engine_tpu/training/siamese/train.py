@@ -154,8 +154,15 @@ class Trainer:
             loss, _ = forward(params, batch_stats, key, anchors, negatives, False)
             return loss
 
+        @jax.jit
+        def embed_fn(params, batch_stats, x):
+            return model.apply(
+                {"params": params, "batch_stats": batch_stats}, x, train=False
+            )
+
         self._train_step = train_step
         self._eval_step = eval_step
+        self._embed_fn = embed_fn
 
     def _shard_batch(self, *arrays):
         if self.mesh is None:
@@ -288,12 +295,7 @@ class Trainer:
 
     # -- inference helper (one-head net, siamese_tf/create_index.py:18-31) -----
     def embed(self, images: np.ndarray, batch_size: int = 32) -> np.ndarray:
-        @jax.jit
-        def fwd(params, batch_stats, x):
-            return self.model.apply(
-                {"params": params, "batch_stats": batch_stats}, x, train=False
-            )
-
+        fwd = self._embed_fn  # jitted once at construction (no per-call retrace)
         out = []
         n = images.shape[0]
         for s in range(0, n, batch_size):

@@ -132,6 +132,7 @@ def thumbnail_b64(path: str | Path, max_size: int = 256) -> str:
         try:
             im.convert("RGB").save(buf, format="JPEG", quality=85)
         except OSError:
+            buf = io.BytesIO()  # discard any partial JPEG bytes
             im.save(buf, format="PNG")
         return base64.b64encode(buf.getvalue()).decode("ascii")
 

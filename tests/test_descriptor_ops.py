@@ -116,3 +116,26 @@ def test_descriptor_matching_across_noise(rng):
     sim_same = np.abs(d[0] @ d[1].T).max(1).mean()
     sim_other = np.abs(d[0] @ d[2].T).max(1).mean()
     assert sim_same > sim_other
+
+
+def test_describe_dataset_cache_invalidated_on_corpus_change(rng, tmp_path):
+    # review finding: stale cache must not survive a corpus change
+    from PIL import Image
+
+    from image_search_engine_tpu.descriptors import HOGDescriptor, describe_dataset
+
+    paths = []
+    for i in range(3):
+        p = tmp_path / f"i{i}.png"
+        Image.fromarray((rng.random((40, 40, 3)) * 255).astype(np.uint8)).save(p)
+        paths.append(p)
+    cache = tmp_path / "cache.npz"
+    f1, _, k1 = describe_dataset(HOGDescriptor(), paths, 32, 2, cache_path=cache)
+    # same corpus -> cache hit
+    f2, _, _ = describe_dataset(HOGDescriptor(), paths, 32, 2, cache_path=cache)
+    np.testing.assert_array_equal(f1, f2)
+    # changed corpus -> rebuild, not stale reuse
+    p_new = tmp_path / "new.png"
+    Image.fromarray((rng.random((40, 40, 3)) * 255).astype(np.uint8)).save(p_new)
+    f3, _, k3 = describe_dataset(HOGDescriptor(), paths + [p_new], 32, 2, cache_path=cache)
+    assert f3.shape[0] == 4 and len(k3) == 4

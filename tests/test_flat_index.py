@@ -73,3 +73,25 @@ def test_flat_index_k_larger_than_corpus(rng):
     idx = FlatIndex("l2").add(x)
     d, i = idx.search(x[:1], 5)
     assert i.shape == (1, 5)
+
+
+def test_sharded_search_k_exceeds_rows_per_shard(rng):
+    # review finding: k > rows_per_shard must not crash (clamped per shard)
+    mesh = make_mesh(8)
+    x = rng.standard_normal((40, 32)).astype(np.float32)  # 5 rows/shard
+    q = rng.standard_normal((2, 32)).astype(np.float32)
+    idx = FlatIndex("l2", mesh=mesh).add(x)
+    d, i = idx.search(q, 10, use_pallas=False)
+    bd, bi = brute_topk(q, x, 10, "l2")
+    np.testing.assert_array_equal(i, bi)
+
+
+def test_k_exceeds_ntotal_pads_with_minus_one(rng):
+    # review finding: no padding-row leakage; Faiss (-1, inf) tail instead
+    x = rng.standard_normal((5, 8)).astype(np.float32)
+    q = rng.standard_normal((2, 8)).astype(np.float32)
+    d, i = FlatIndex("l2").add(x).search(q, 8)
+    assert i.shape == (2, 8)
+    assert (i[:, :5] < 5).all() and (i[:, :5] >= 0).all()
+    assert (i[:, 5:] == -1).all()
+    assert np.isinf(d[:, 5:]).all()

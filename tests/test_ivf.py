@@ -111,3 +111,28 @@ def test_sharded_ivf_partial_probe_recall(corpus):
     # sharded and unsharded IVF probe the same cells -> identical results
     _, ui = ivf.search(q, 10)
     np.testing.assert_array_equal(si, ui)
+
+
+def test_cosine_semantics_consistent_across_index_types(rng):
+    # review finding: FlatIndex and IVFIndex "cosine" must agree in sign
+    x = rng.standard_normal((100, 16)).astype(np.float32)
+    q = rng.standard_normal((3, 16)).astype(np.float32)
+    df, _ = FlatIndex("cosine").add(x).search(q, 5)
+    di, _ = IVFIndex(metric="cosine", nlist=4, nprobe=4).add(x).search(q, 5)
+    # both descending similarity in [-1, 1]
+    np.testing.assert_allclose(df, di, rtol=1e-3, atol=1e-3)
+    assert (np.diff(df, axis=1) <= 1e-6).all() and (np.diff(di, axis=1) <= 1e-6).all()
+
+
+def test_ivfpq_save_excludes_raw_vectors_by_default(corpus, tmp_path):
+    x, q = corpus
+    pq = IVFPQIndex(nlist=4, nprobe=4, m=8).add(x)
+    p = tmp_path / "pq.npz"
+    pq.save(p)
+    z = np.load(p)
+    assert "vectors" not in z.files  # the compressed-storage claim holds
+    pq2 = IVFPQIndex.load(p)
+    assert pq2.ntotal == x.shape[0]
+    d1, i1 = pq.search(q, 5)
+    d2, i2 = pq2.search(q, 5)
+    np.testing.assert_array_equal(i1, i2)
