@@ -164,6 +164,7 @@ def describe_dataset(
     image_size: int = 224,
     batch_size: int = 32,
     cache_path: Optional[str | Path] = None,
+    use_native: bool = False,
 ) -> Tuple[np.ndarray, Optional[np.ndarray], np.ndarray]:
     """Describe a whole corpus (reference describe_dataset,
     descriptors.py:104-139 — joblib threads replaced by a host decode pool
@@ -188,7 +189,9 @@ def describe_dataset(
         log.info("description cache %s is stale (corpus changed); rebuilding", cache_path)
 
     feats, valids, kept = [], [], []
-    for batch, idx in load_images_batched(paths, batch_size, (image_size, image_size)):
+    for batch, idx in load_images_batched(
+        paths, batch_size, (image_size, image_size), use_native=use_native
+    ):
         f, v = descriptor.describe_batch(batch)
         feats.append(f)
         kept.extend(idx)

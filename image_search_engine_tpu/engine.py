@@ -152,7 +152,15 @@ class QueryEngine:
             from image_search_engine_tpu.index.ivf import IVFIndex, IVFPQIndex
 
             cls = IVFPQIndex if cfg.index_type == IndexType.IVFPQ else IVFIndex
-            return cls.load(path, mesh=mesh)
+            index = cls.load(path, mesh=mesh)
+            if mesh is not None and index.vectors is not None:
+                # scale out: shard rows + per-shard lists over ICI
+                from image_search_engine_tpu.parallel.ivf import ShardedIVF
+
+                return ShardedIVF.from_components(
+                    index.vectors, index.centroids, index.nprobe, mesh
+                )
+            return index
         from image_search_engine_tpu.index.flat import FlatIndex
 
         return FlatIndex.load(path, mesh=mesh)

@@ -35,7 +35,7 @@ from image_search_engine_tpu.utils.imageio import get_image_paths, save_paths_cs
 log = logging.getLogger(__name__)
 
 
-def build_dnn_index(cfg: Config, paths, mesh=None) -> None:
+def build_dnn_index(cfg: Config, paths, mesh=None, use_native: bool = False) -> None:
     from image_search_engine_tpu.models.embedder import CNNEmbedder
 
     embedder = CNNEmbedder(
@@ -44,7 +44,8 @@ def build_dnn_index(cfg: Config, paths, mesh=None) -> None:
     )
     desc = make_descriptor(cfg, embedder)
     feats, _, kept = describe_dataset(
-        desc, paths, image_size=cfg.resize_size, batch_size=cfg.embed_batch_size
+        desc, paths, image_size=cfg.resize_size, batch_size=cfg.embed_batch_size,
+        use_native=use_native,
     )
     metric = {"cosine": "cosine", "l2": "l2", "cell-probe": "l2", "ivfpq": "l2"}[
         cfg.index_type.value
@@ -62,13 +63,14 @@ def build_dnn_index(cfg: Config, paths, mesh=None) -> None:
     log.info("DNN index: %d vectors (%d-D) -> %s", len(kept), feats.shape[1], cfg.dnn_index_path)
 
 
-def build_bovw_index(cfg: Config, paths, mesh=None) -> None:
+def build_bovw_index(cfg: Config, paths, mesh=None, use_native: bool = False) -> None:
     from image_search_engine_tpu.bovw.pipeline import BoVWPipeline, sweep_num_clusters
 
     desc = make_descriptor(cfg)
     cache = cfg.artifacts_dir / f"descriptions_{cfg.corner_descriptor.value}.npz"
     feats, valid, kept = describe_dataset(
-        desc, paths, image_size=cfg.resize_size, batch_size=32, cache_path=cache
+        desc, paths, image_size=cfg.resize_size, batch_size=32, cache_path=cache,
+        use_native=use_native,
     )
 
     n_clusters = cfg.num_clusters
@@ -99,16 +101,17 @@ def build_bovw_index(cfg: Config, paths, mesh=None) -> None:
     log.info("BoVW index: %d images, k=%d -> %s", len(kept), n_clusters, cfg.bovw_index_path)
 
 
-def build_dhash_index(cfg: Config, paths) -> None:
+def build_dhash_index(cfg: Config, paths, use_native: bool = False) -> None:
     from image_search_engine_tpu.descriptors import DHashDescriptor, describe_dataset as dd
 
-    feats, _, kept = dd(DHashDescriptor(), paths, image_size=cfg.resize_size, batch_size=64)
+    feats, _, kept = dd(DHashDescriptor(), paths, image_size=cfg.resize_size,
+                        batch_size=64, use_native=use_native)
     np.savez_compressed(cfg.dhash_store_path, bits=feats.astype(bool))
     save_paths_csv([paths[i] for i in kept], cfg.paths_file)
     log.info("dHash store: %d hashes -> %s", len(kept), cfg.dhash_store_path)
 
 
-def main(cfg: Config, mesh=None) -> None:
+def main(cfg: Config, mesh=None, use_native: bool = False) -> None:
     t0 = time.time()
     cfg.artifacts_dir.mkdir(parents=True, exist_ok=True)
     paths = get_image_paths(cfg.data_dir)
@@ -116,15 +119,15 @@ def main(cfg: Config, mesh=None) -> None:
         raise SystemExit(f"no images found under {cfg.data_dir}")
     log.info("indexing %d images with method=%s", len(paths), cfg.method.value)
     if cfg.method == Method.DNN:
-        build_dnn_index(cfg, paths, mesh)
+        build_dnn_index(cfg, paths, mesh, use_native)
     elif cfg.method == Method.BOVW:
-        build_bovw_index(cfg, paths, mesh)
+        build_bovw_index(cfg, paths, mesh, use_native)
     elif cfg.method == Method.DHASH:
-        build_dhash_index(cfg, paths)
+        build_dhash_index(cfg, paths, use_native)
     log.info("index build finished in %.1fs", time.time() - t0)
 
 
-def parse_args(argv=None) -> Config:
+def parse_args(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--data-dir", type=Path, required=True)
     ap.add_argument("--artifacts-dir", type=Path, default=Path("artifacts"))
@@ -137,6 +140,8 @@ def parse_args(argv=None) -> Config:
     ap.add_argument("--cluster-grid-search", action="store_true")
     ap.add_argument("--batch-size", type=int, default=64)
     ap.add_argument("--resize-size", type=int, default=224)
+    ap.add_argument("--native-loader", action="store_true",
+                    help="decode+resize with the C++ loader (native/)")
     a = ap.parse_args(argv)
     from image_search_engine_tpu.config import DnnModel
 
@@ -147,9 +152,10 @@ def parse_args(argv=None) -> Config:
         corner_descriptor=CornerDescriptorKind(a.corner_descriptor),
         num_clusters=a.num_clusters, use_cluster_grid_search=a.cluster_grid_search,
         embed_batch_size=a.batch_size, resize_size=a.resize_size,
-    )
+    ), a.native_loader
 
 
 if __name__ == "__main__":
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s %(message)s")
-    main(parse_args())
+    _cfg, _use_native = parse_args()
+    main(_cfg, use_native=_use_native)
