@@ -90,6 +90,7 @@ class QueryEngine:
 
     def _build(self, cfg: Config, mesh) -> Callable[[np.ndarray, int], Tuple[np.ndarray, np.ndarray]]:
         if cfg.method == Method.DNN:
+            from image_search_engine_tpu.index.flat import FlatIndex
             from image_search_engine_tpu.models.embedder import CNNEmbedder
 
             embedder = CNNEmbedder(
@@ -97,6 +98,54 @@ class QueryEngine:
             )
             index = self._load_index(cfg.dnn_index_path, cfg, mesh)
             s = cfg.resize_size
+
+            if isinstance(index, FlatIndex) and index.mesh is None:
+                # fuse embed + search into ONE jitted program: embeddings
+                # never round-trip to host between the backbone and the
+                # index scan (each host hop costs a full RTT)
+                import functools as _ft
+
+                import jax
+                import jax.numpy as jnp
+
+                from image_search_engine_tpu.ops.distances import l2_normalize
+                from image_search_engine_tpu.ops.image_ops import preprocess_for_cnn
+                from image_search_engine_tpu.parallel.topk import local_topk_with_norms
+
+                model = embedder.model
+                search_metric = "ip" if index.metric in ("ip", "cosine") else index.metric
+                normalize = index.metric == "cosine"
+                store_v, store_n = index.store.vectors, index.store.norms
+                n_valid = index.store.n
+
+                @_ft.partial(jax.jit, static_argnames=("k",))
+                def fused(params, batch_stats, image, store, norms, k):
+                    x = preprocess_for_cnn(image[None], s)
+                    variables = {"params": params}
+                    if batch_stats is not None:
+                        variables["batch_stats"] = batch_stats
+                    emb = model.apply(variables, x, train=False)
+                    if normalize:
+                        emb = l2_normalize(emb)
+                    return local_topk_with_norms(
+                        emb, store, norms, k, search_metric,
+                        use_pallas=jax.default_backend() == "tpu",
+                    )
+
+                def search(image: np.ndarray, k: int):
+                    k_eff = min(k, n_valid)
+                    d, i = fused(
+                        embedder.params, embedder.batch_stats,
+                        jnp.asarray(_resize_host(image, s)), store_v, store_n, k_eff,
+                    )
+                    d, i = np.array(d), np.array(i)
+                    if d.shape[1] < k:
+                        worst = -np.inf if search_metric == "ip" else np.inf
+                        d = np.pad(d, ((0, 0), (0, k - d.shape[1])), constant_values=worst)
+                        i = np.pad(i, ((0, 0), (0, k - i.shape[1])), constant_values=-1)
+                    return d, i
+
+                return search
 
             def search(image: np.ndarray, k: int):
                 # resize BEFORE the jitted embed so the backbone compiles
