@@ -138,6 +138,7 @@ class QueryEngine:
                         embedder.params, embedder.batch_stats,
                         jnp.asarray(_resize_host(image, s)), store_v, store_n, k_eff,
                     )
+                    d, i = jax.device_get((d, i))  # one host transfer for both
                     d, i = np.array(d), np.array(i)
                     if d.shape[1] < k:
                         worst = -np.inf if search_metric == "ip" else np.inf
