@@ -111,6 +111,9 @@ class Config:
     # --- serving ------------------------------------------------------------
     host: str = "127.0.0.1"
     port: int = 5000
+    micro_batch: bool = False  # batch concurrent queries (serving/batching.py)
+    micro_batch_max: int = 8
+    micro_batch_wait_ms: float = 3.0
 
     # --- mesh / sharding ------------------------------------------------------
     mesh_axis: str = "data"  # 1-D mesh axis the vector store is sharded over

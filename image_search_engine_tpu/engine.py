@@ -83,7 +83,9 @@ class QueryEngine:
         t0 = time.time()
         dummy = np.zeros((self.cfg.resize_size, self.cfg.resize_size, 3), np.float32)
         try:
-            self._search(dummy, min(2, max(1, len(self.paths))))
+            # use the real default k so the compiled program matches the
+            # first actual request (a different k is a different program)
+            self._search(dummy, min(self.cfg.num_images_to_return, max(1, len(self.paths))))
             log.info("prewarm compile finished in %.1fs", time.time() - t0)
         except Exception as e:  # noqa: BLE001 — prewarm failing must not block serving
             log.warning("prewarm failed (serving continues, first query compiles): %s", e)
@@ -119,8 +121,8 @@ class QueryEngine:
                 n_valid = index.store.n
 
                 @_ft.partial(jax.jit, static_argnames=("k",))
-                def fused(params, batch_stats, image, store, norms, k):
-                    x = preprocess_for_cnn(image[None], s)
+                def fused(params, batch_stats, images, store, norms, k):
+                    x = preprocess_for_cnn(images, s)
                     variables = {"params": params}
                     if batch_stats is not None:
                         variables["batch_stats"] = batch_stats
@@ -132,11 +134,11 @@ class QueryEngine:
                         use_pallas=jax.default_backend() == "tpu",
                     )
 
-                def search(image: np.ndarray, k: int):
+                def batched_search(images: np.ndarray, k: int):
                     k_eff = min(k, n_valid)
                     d, i = fused(
                         embedder.params, embedder.batch_stats,
-                        jnp.asarray(_resize_host(image, s)), store_v, store_n, k_eff,
+                        jnp.asarray(images, jnp.float32), store_v, store_n, k_eff,
                     )
                     d, i = jax.device_get((d, i))  # one host transfer for both
                     d, i = np.array(d), np.array(i)
@@ -145,6 +147,23 @@ class QueryEngine:
                         d = np.pad(d, ((0, 0), (0, k - d.shape[1])), constant_values=worst)
                         i = np.pad(i, ((0, 0), (0, k - i.shape[1])), constant_values=-1)
                     return d, i
+
+                if cfg.micro_batch:
+                    # collect concurrent uploads into one padded device batch
+                    from image_search_engine_tpu.serving.batching import MicroBatcher
+
+                    self._batcher = MicroBatcher(
+                        batched_search, max_batch=cfg.micro_batch_max,
+                        max_wait_ms=cfg.micro_batch_wait_ms,
+                    )
+
+                    def search(image: np.ndarray, k: int):
+                        return self._batcher.search(_resize_host(image, s), k)
+
+                    return search
+
+                def search(image: np.ndarray, k: int):
+                    return batched_search(_resize_host(image, s)[None], k)
 
                 return search
 
@@ -355,6 +374,8 @@ def parse_args(argv=None) -> Config:
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=5000)
     ap.add_argument("--resize-size", type=int, default=224)
+    ap.add_argument("--micro-batch", action="store_true",
+                    help="batch concurrent queries into one device call")
     a = ap.parse_args(argv)
     from image_search_engine_tpu.config import DnnModel
 
@@ -362,6 +383,7 @@ def parse_args(argv=None) -> Config:
         artifacts_dir=a.artifacts_dir, method=Method(a.method),
         index_type=IndexType(a.index_type), dnn_model=DnnModel(a.dnn_model),
         host=a.host, port=a.port, resize_size=a.resize_size,
+        micro_batch=a.micro_batch,
     )
 
 

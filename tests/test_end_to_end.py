@@ -147,3 +147,25 @@ def test_http_contract(corpus_dir):
             assert e.code == 400
     finally:
         httpd.shutdown()
+
+
+def test_micro_batched_engine_concurrent_queries(corpus_dir):
+    import concurrent.futures as cf
+
+    from image_search_engine_tpu.utils.imageio import load_image
+
+    cfg = _cfg(corpus_dir, method=Method.DNN, dnn_model=DnnModel.RESNET_TINY,
+               micro_batch=True, micro_batch_wait_ms=20.0)
+    indexer_main(cfg)
+    engine = QueryEngine(cfg)
+
+    def one(i):
+        img = load_image(engine.paths[i])
+        return i, engine.query(img, k=3)
+
+    with cf.ThreadPoolExecutor(6) as pool:
+        results = list(pool.map(one, range(6)))
+    for i, pred in results:
+        assert len(pred) == 3
+        assert pred[0][2] == engine.paths[i]  # each rider got ITS OWN result
+        assert pred[0][0] < 0.05

@@ -102,3 +102,72 @@ def test_orbax_manager_retention(rng, tmp_path):
     back = mgr.restore()
     np.testing.assert_allclose(np.asarray(back["v"]), [3.0, 3.0])
     mgr.close()
+
+
+def test_micro_batcher_batches_and_returns_correct_results(rng):
+    import threading
+    import time as _time
+
+    from image_search_engine_tpu.serving.batching import MicroBatcher
+
+    calls = []
+
+    def batched_search(images, k):
+        calls.append(images.shape[0])
+        # "distance" = mean pixel of each image; ids = argsorted dummy
+        d = images.mean(axis=(1, 2, 3))[:, None].repeat(k, 1)
+        i = np.tile(np.arange(k), (images.shape[0], 1))
+        _time.sleep(0.01)
+        return d, i
+
+    mb = MicroBatcher(batched_search, max_batch=8, max_wait_ms=30.0)
+    imgs = rng.random((6, 4, 4, 3)).astype(np.float32)
+
+    results = [None] * 6
+
+    def worker(j):
+        results[j] = mb.search(imgs[j], k=3)
+
+    threads = [threading.Thread(target=worker, args=(j,)) for j in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    mb.close()
+
+    for j in range(6):
+        d, i = results[j]
+        assert d.shape == (1, 3) and i.shape == (1, 3)
+        np.testing.assert_allclose(d[0, 0], imgs[j].mean(), rtol=1e-5)
+    # concurrency actually batched (fewer calls than requests, padded to 8)
+    assert len(calls) < 6
+    assert max(calls) == 8
+
+
+def test_micro_batcher_single_request_stays_batch_one(rng):
+    from image_search_engine_tpu.serving.batching import MicroBatcher
+
+    sizes = []
+
+    def fn(images, k):
+        sizes.append(images.shape[0])
+        return np.zeros((images.shape[0], k)), np.zeros((images.shape[0], k), np.int32)
+
+    mb = MicroBatcher(fn, max_batch=8, max_wait_ms=1.0)
+    mb.search(rng.random((4, 4, 3)).astype(np.float32), k=2)
+    mb.close()
+    assert sizes == [1]
+
+
+def test_micro_batcher_propagates_errors(rng):
+    import pytest as _pytest
+
+    from image_search_engine_tpu.serving.batching import MicroBatcher
+
+    def fn(images, k):
+        raise RuntimeError("boom")
+
+    mb = MicroBatcher(fn, max_batch=4, max_wait_ms=1.0)
+    with _pytest.raises(RuntimeError, match="boom"):
+        mb.search(rng.random((4, 4, 3)).astype(np.float32), k=2)
+    mb.close()
