@@ -85,7 +85,10 @@ class QueryEngine:
         try:
             # use the real default k so the compiled program matches the
             # first actual request (a different k is a different program)
-            self._search(dummy, min(self.cfg.num_images_to_return, max(1, len(self.paths))))
+            k_warm = min(self.cfg.num_images_to_return, max(1, len(self.paths)))
+            self._search(dummy, k_warm)
+            if getattr(self, "_extra_prewarm", None) is not None:
+                self._extra_prewarm(k_warm)
             log.info("prewarm compile finished in %.1fs", time.time() - t0)
         except Exception as e:  # noqa: BLE001 — prewarm failing must not block serving
             log.warning("prewarm failed (serving continues, first query compiles): %s", e)
@@ -155,6 +158,11 @@ class QueryEngine:
                     self._batcher = MicroBatcher(
                         batched_search, max_batch=cfg.micro_batch_max,
                         max_wait_ms=cfg.micro_batch_wait_ms,
+                    )
+                    # warm BOTH programs (B=1 and B=max) at startup — the
+                    # first concurrent burst must not hit a cold compile
+                    self._extra_prewarm = lambda k: batched_search(
+                        np.zeros((cfg.micro_batch_max, s, s, 3), np.float32), k
                     )
 
                     def search(image: np.ndarray, k: int):
