@@ -98,8 +98,10 @@ class QueryEngine:
             from image_search_engine_tpu.index.flat import FlatIndex
             from image_search_engine_tpu.models.embedder import CNNEmbedder
 
+            # mesh shards the INDEX; single-query embeds can't split over a
+            # batch axis (batch=1), so the backbone runs replicated
             embedder = CNNEmbedder(
-                cfg.dnn_model.value, image_size=cfg.resize_size, batch_size=1, mesh=mesh
+                cfg.dnn_model.value, image_size=cfg.resize_size, batch_size=1
             )
             index = self._load_index(cfg.dnn_index_path, cfg, mesh)
             s = cfg.resize_size

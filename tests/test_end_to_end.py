@@ -169,3 +169,21 @@ def test_micro_batched_engine_concurrent_queries(corpus_dir):
         assert len(pred) == 3
         assert pred[0][2] == engine.paths[i]  # each rider got ITS OWN result
         assert pred[0][0] < 0.05
+
+
+def test_sharded_engine_cell_probe(corpus_dir):
+    # engine + mesh + cell-probe: serving through ShardedIVF
+    from image_search_engine_tpu.parallel.mesh import make_mesh
+    from image_search_engine_tpu.utils.imageio import load_image
+
+    mesh = make_mesh(8)
+    cfg = _cfg(corpus_dir, method=Method.DNN, dnn_model=DnnModel.RESNET_TINY,
+               index_type=IndexType.CELL_PROBE, ivf_nlist=4, ivf_nprobe=4)
+    indexer_main(cfg)
+    engine = QueryEngine(cfg, mesh=mesh)
+    from image_search_engine_tpu.parallel.ivf import ShardedIVF  # noqa: F401
+
+    img = load_image(engine.paths[0])
+    pred = engine.query(img, k=3)
+    assert pred[0][2] == engine.paths[0]
+    assert pred[0][0] < 0.05
