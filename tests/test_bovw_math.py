@@ -81,3 +81,31 @@ def test_okapi_facade_fit_transform(rng):
     dl = q.sum()
     want = np.where(q > 0, q / (q + (1 - 0.75 + 0.75 * dl / tr2.avgdl_)), 0.0)
     np.testing.assert_allclose(out_batch, want, rtol=1e-4)
+
+
+def test_bovw_pipeline_with_orb_descriptors(rng):
+    # full BoVW fit/transform over ORB-style binary descriptors (reference
+    # config #2: BoVW ORB + kmeans codebook + histogram search)
+    from image_search_engine_tpu.bovw.pipeline import BoVWPipeline
+    from image_search_engine_tpu.descriptors import CornerDescriptor
+
+    # structured images so Harris finds corners
+    imgs = []
+    for i in range(6):
+        img = np.zeros((64, 64, 3), np.float32)
+        for _ in range(6):
+            y, x = rng.integers(8, 48, 2)
+            img[y : y + 8, x : x + 8] = rng.random(3)
+        imgs.append(img)
+    imgs = np.stack(imgs)
+    desc = CornerDescriptor("orb", max_keypoints=32)
+    feats, valid = desc.describe_batch(imgs)
+    assert valid.any(), "ORB found no keypoints on structured images"
+
+    pipe = BoVWPipeline(n_clusters=8, kmeans_niter=5, kmeans_nredo=1)
+    hists = pipe.fit_transform(feats, valid)
+    assert hists.shape == (6, 8)
+    assert (hists >= 0).all() and (hists <= 1).all()
+    # identical image -> identical histogram
+    h2 = pipe.transform(feats[:1], valid[:1])
+    np.testing.assert_allclose(h2[0], hists[0], rtol=1e-5)
