@@ -24,6 +24,7 @@ TPU-shaped equivalent:
 from __future__ import annotations
 
 import dataclasses
+import json
 import logging
 from pathlib import Path
 from typing import Optional, Sequence, Tuple
@@ -81,6 +82,11 @@ class BoVWPipeline:
     bm25_k2: float = 1.0
     bm25_b: float = 0.75
     use_train_avgdl: bool = True  # sane query-time default (see ops/bm25.py)
+    # descriptor provenance: recorded at fit time so the serving side can
+    # reconstruct the SAME feature pipeline from the artifact alone (a
+    # 136-D DAISY query against a 256-bit ORB codebook is a shape error)
+    descriptor_kind: str = ""
+    descriptor_params: Optional[dict] = None
 
     kmeans: Optional[KMeans] = None
     bm25: Optional[OkapiBM25] = None
@@ -135,6 +141,10 @@ class BoVWPipeline:
                  int(self.spherical), int(self.use_train_avgdl)], np.float64
             ),
             bm25_params=np.asarray([self.bm25_k1, self.bm25_k2, self.bm25_b], np.float64),
+            descriptor_kind=np.array(self.descriptor_kind),
+            descriptor_params=np.array(
+                json.dumps(self.descriptor_params or {})
+            ),
         )
 
     @classmethod
@@ -156,6 +166,9 @@ class BoVWPipeline:
         )
         self.bm25.idf_ = z["idf"] if z["idf"].size else None
         self.bm25.avgdl_ = float(z["avgdl"])
+        if "descriptor_kind" in z.files:
+            self.descriptor_kind = str(z["descriptor_kind"])
+            self.descriptor_params = json.loads(str(z["descriptor_params"]))
         return self
 
 

@@ -191,9 +191,26 @@ class QueryEngine:
             from image_search_engine_tpu.index.flat import FlatIndex
 
             pipeline = BoVWPipeline.load(cfg.bovw_pipeline_path)
-            descriptor = make_descriptor(cfg)
+            if pipeline.descriptor_kind:
+                # the artifact records which feature pipeline built it —
+                # reconstruct THAT, regardless of this process's config (a
+                # mismatched descriptor family is a shape error)
+                from image_search_engine_tpu.config import CornerDescriptorKind
+
+                dp = pipeline.descriptor_params or {}
+                art_cfg = Config(
+                    method=Method.BOVW,
+                    corner_descriptor=CornerDescriptorKind(pipeline.descriptor_kind),
+                    max_descriptors_per_image=int(dp.get("max_keypoints", 256)),
+                    daisy_step=int(dp.get("daisy_step", 32)),
+                    daisy_radius=int(dp.get("daisy_radius", 32)),
+                )
+                descriptor = make_descriptor(art_cfg)
+                s = int(dp.get("resize_size", cfg.resize_size))
+            else:
+                descriptor = make_descriptor(cfg)
+                s = cfg.resize_size
             index = FlatIndex.load(cfg.bovw_index_path, mesh=mesh)
-            s = cfg.resize_size
 
             def search(image: np.ndarray, k: int):
                 # match the index-build image size (descriptor grids/keypoint
@@ -358,7 +375,13 @@ def make_handler(engine: QueryEngine):
             except Exception as e:  # noqa: BLE001
                 self._json(400, {"error": f"undecodable image: {e}"})
                 return
-            prediction = engine.query(image)
+            try:
+                prediction = engine.query(image)
+            except Exception as e:  # noqa: BLE001 — a failed query must
+                # answer 500, not kill the connection with an empty reply
+                log.exception("query failed")
+                self._json(500, {"error": f"query failed: {e}"})
+                return
             self._json(200, {"prediction": prediction})
 
         def log_message(self, fmt, *args):  # quieter: route through logging

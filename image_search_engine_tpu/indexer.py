@@ -90,6 +90,12 @@ def build_bovw_index(cfg: Config, paths, mesh=None, use_native: bool = False) ->
         kmeans_nredo=cfg.kmeans_nredo, kmeans_seed=cfg.kmeans_seed,
         spherical=cfg.kmeans_spherical,
         bm25_k1=cfg.bm25_k1, bm25_k2=cfg.bm25_k2, bm25_b=cfg.bm25_b,
+        descriptor_kind=cfg.corner_descriptor.value,
+        descriptor_params={
+            "max_keypoints": cfg.max_descriptors_per_image,
+            "daisy_step": cfg.daisy_step, "daisy_radius": cfg.daisy_radius,
+            "resize_size": cfg.resize_size,
+        },
     )
     hists = pipeline.fit_transform(feats, valid)
     pipeline.save(cfg.bovw_pipeline_path)
