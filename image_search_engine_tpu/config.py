@@ -114,6 +114,7 @@ class Config:
     micro_batch: bool = False  # batch concurrent queries (serving/batching.py)
     micro_batch_max: int = 8
     micro_batch_wait_ms: float = 3.0
+    precompute_thumbnails: bool = True  # pack result thumbnails at index time
 
     # --- mesh / sharding ------------------------------------------------------
     mesh_axis: str = "data"  # 1-D mesh axis the vector store is sharded over
@@ -146,6 +147,10 @@ class Config:
     @property
     def paths_file(self) -> Path:
         return self.artifacts_dir / "images.csv"  # id -> path sidecar
+
+    @property
+    def thumbnails_path(self) -> Path:
+        return self.artifacts_dir / "thumbnails.npz"  # packed result thumbs
 
     @classmethod
     def from_env(cls, **overrides) -> "Config":

@@ -73,6 +73,19 @@ class QueryEngine:
         self.cfg = cfg
         self.paths = load_paths_csv(cfg.paths_file)
         self.stats = ServingStats()
+        self.thumbs = None
+        if cfg.thumbnails_path.exists():
+            from image_search_engine_tpu.utils.imageio import ThumbnailCache
+
+            cache = ThumbnailCache.load(cfg.thumbnails_path)
+            if len(cache) == len(self.paths):
+                self.thumbs = cache
+                log.info("serving thumbnails from %s", cfg.thumbnails_path)
+            else:
+                log.warning(
+                    "thumbnail cache has %d entries for %d paths; ignoring "
+                    "(rebuild the index)", len(cache), len(self.paths),
+                )
         self._search = self._build(cfg, mesh)
         if prewarm:
             self.prewarm()
@@ -276,10 +289,13 @@ class QueryEngine:
             if idx < 0 or idx >= len(self.paths):
                 continue
             path = self.paths[idx]
-            try:
-                thumb = thumbnail_b64(path, self.cfg.thumbnail_size)
-            except Exception:  # noqa: BLE001 — missing/corrupt corpus file
-                thumb = ""
+            if self.thumbs is not None:
+                thumb = self.thumbs.get_b64(idx)
+            else:
+                try:
+                    thumb = thumbnail_b64(path, self.cfg.thumbnail_size)
+                except Exception:  # noqa: BLE001 — missing/corrupt corpus file
+                    thumb = ""
             out.append((round(float(dist), 4), thumb, path))
         log.info("query: search %.1fms, total %.1fms, %d hits",
                  search_s * 1e3, (time.time() - t0) * 1e3, len(out))

@@ -117,6 +117,19 @@ def build_dhash_index(cfg: Config, paths, use_native: bool = False) -> None:
     log.info("dHash store: %d hashes -> %s", len(kept), cfg.dhash_store_path)
 
 
+def build_thumbnails(cfg: Config) -> None:
+    """Pack result thumbnails once at index time so the serving path never
+    re-opens corpus images per query (the reference re-encoded up to 20
+    full images with PIL on every request, backend/engine.py:59-63)."""
+    from image_search_engine_tpu.utils.imageio import ThumbnailCache, load_paths_csv
+
+    kept_paths = load_paths_csv(cfg.paths_file)
+    t0 = time.time()
+    ThumbnailCache.build(kept_paths, cfg.thumbnails_path, cfg.thumbnail_size)
+    log.info("thumbnail cache: %d thumbs -> %s (%.1fs)",
+             len(kept_paths), cfg.thumbnails_path, time.time() - t0)
+
+
 def main(cfg: Config, mesh=None, use_native: bool = False) -> None:
     t0 = time.time()
     cfg.artifacts_dir.mkdir(parents=True, exist_ok=True)
@@ -130,6 +143,8 @@ def main(cfg: Config, mesh=None, use_native: bool = False) -> None:
         build_bovw_index(cfg, paths, mesh, use_native)
     elif cfg.method == Method.DHASH:
         build_dhash_index(cfg, paths, use_native)
+    if cfg.precompute_thumbnails:
+        build_thumbnails(cfg)
     log.info("index build finished in %.1fs", time.time() - t0)
 
 
@@ -148,6 +163,8 @@ def parse_args(argv=None):
     ap.add_argument("--resize-size", type=int, default=224)
     ap.add_argument("--native-loader", action="store_true",
                     help="decode+resize with the C++ loader (native/)")
+    ap.add_argument("--no-thumbnails", action="store_true",
+                    help="skip the packed thumbnail cache (thumbnails.npz)")
     a = ap.parse_args(argv)
     from image_search_engine_tpu.config import DnnModel
 
@@ -158,6 +175,7 @@ def parse_args(argv=None):
         corner_descriptor=CornerDescriptorKind(a.corner_descriptor),
         num_clusters=a.num_clusters, use_cluster_grid_search=a.cluster_grid_search,
         embed_batch_size=a.batch_size, resize_size=a.resize_size,
+        precompute_thumbnails=not a.no_thumbnails,
     ), a.native_loader
 
 

@@ -440,18 +440,23 @@ def topk_twophase(
     # Phase 2 (XLA): the k best groups per query provably cover the exact
     # top-k (each group holding a top-k element has min <= the k-th global
     # distance, and at most k groups can); +4 absorbs distance ties.
+    # Candidates are gathered as whole (GROUP, dp) blocks — one contiguous
+    # 32 KB DMA per group instead of 128 random 256 B row reads (the row
+    # gather capped throughput at ~26k QPS; block reads ride the streaming
+    # bandwidth).
     t = min(k + 4, ngroups)
     _, cand_groups = jax.lax.top_k(-mins[:qn_rows], t)  # (Q, t)
     offsets = jnp.arange(GROUP, dtype=jnp.int32)
     flat_ids = (cand_groups[..., None] * GROUP + offsets).reshape(qn_rows, t * GROUP)
-    vecs = xf[flat_ids]  # (Q, C, dp) gather
+    vecs = xf.reshape(ngroups, GROUP, dp)[cand_groups]  # (Q, t, GROUP, dp)
+    vecs = vecs.reshape(qn_rows, t * GROUP, dp)
     if is_int8:
         # dequantize candidates for the full-precision rescore
         vecs = vecs.astype(jnp.float32) * scale_pad[flat_ids][..., None]
         qf = jnp.pad(q.astype(jnp.float32), ((0, qp - qn_rows), (0, dp - d)))
         if metric == "ip":
             qf = qf * 0.5
-    cn = norms[flat_ids]  # poisoned at pads
+    cn = norms.reshape(ngroups, GROUP)[cand_groups].reshape(qn_rows, t * GROUP)  # poisoned at pads
     if metric == "l2":
         cross = jnp.einsum("qd,qcd->qc", qf[:qn_rows], vecs,
                            preferred_element_type=jnp.float32,

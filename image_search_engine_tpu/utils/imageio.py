@@ -137,6 +137,63 @@ def thumbnail_b64(path: str | Path, max_size: int = 256) -> str:
         return base64.b64encode(buf.getvalue()).decode("ascii")
 
 
+class ThumbnailCache:
+    """Precomputed result thumbnails, built once at index time.
+
+    The reference re-opens and re-encodes up to 20 full corpus images with
+    PIL on EVERY query (backend/engine.py:59-63, utils.py:44-62) — that is
+    the dominant serving cost after the search itself. Here the thumbnails
+    are encoded once by the indexer and served from a packed, memory-mapped
+    blob: ``data`` (uint8 concat of JPEG/PNG bytes) + ``offsets``
+    (int64 N+1), row id i <-> ``paths.csv`` id i.
+    """
+
+    def __init__(self, data: np.ndarray, offsets: np.ndarray):
+        self._data = data
+        self._offsets = offsets
+
+    def __len__(self) -> int:
+        return len(self._offsets) - 1
+
+    def get_b64(self, i: int) -> str:
+        lo, hi = int(self._offsets[i]), int(self._offsets[i + 1])
+        return base64.b64encode(self._data[lo:hi].tobytes()).decode("ascii")
+
+    @classmethod
+    def build(
+        cls,
+        paths: Sequence[str | Path],
+        out: str | Path,
+        max_size: int = 256,
+        num_workers: int = 8,
+    ) -> "ThumbnailCache":
+        """Encode every corpus image's thumbnail in a thread pool and pack
+        them into one .npz. Unreadable files get an empty slot (the engine
+        already treats an empty thumbnail as 'missing')."""
+
+        def _encode(p) -> bytes:
+            try:
+                return base64.b64decode(thumbnail_b64(p, max_size))
+            except Exception as e:  # noqa: BLE001 — missing/corrupt corpus file
+                log.warning("thumbnail skipped for %s: %s", p, e)
+                return b""
+
+        with cf.ThreadPoolExecutor(num_workers) as pool:
+            blobs = list(pool.map(_encode, paths))
+        offsets = np.zeros(len(blobs) + 1, np.int64)
+        np.cumsum([len(b) for b in blobs], out=offsets[1:])
+        data = np.frombuffer(b"".join(blobs), np.uint8)
+        out = Path(out)
+        out.parent.mkdir(parents=True, exist_ok=True)
+        np.savez(out, data=data, offsets=offsets)
+        return cls(data, offsets)
+
+    @classmethod
+    def load(cls, src: str | Path) -> "ThumbnailCache":
+        z = np.load(src, allow_pickle=False)
+        return cls(z["data"], z["offsets"])
+
+
 def save_paths_csv(paths: Sequence[str | Path], out: str | Path) -> None:
     """id -> path sidecar (reference save_images_df, siamese/utils.py:57-70)."""
     out = Path(out)

@@ -187,3 +187,48 @@ def test_sharded_engine_cell_probe(corpus_dir):
     pred = engine.query(img, k=3)
     assert pred[0][2] == engine.paths[0]
     assert pred[0][0] < 0.05
+
+
+def test_thumbnail_cache_built_and_served(corpus_dir):
+    import base64
+    import io
+
+    from PIL import Image as PILImage
+
+    from image_search_engine_tpu.utils.imageio import ThumbnailCache
+
+    cfg = _cfg(corpus_dir, method=Method.DHASH)
+    indexer_main(cfg)
+    assert cfg.thumbnails_path.exists()
+
+    cache = ThumbnailCache.load(cfg.thumbnails_path)
+    engine = QueryEngine(cfg)
+    assert engine.thumbs is not None and len(cache) == len(engine.paths)
+
+    # cached thumbnail decodes to a real <=256px image
+    blob = base64.b64decode(cache.get_b64(0))
+    im = PILImage.open(io.BytesIO(blob))
+    assert max(im.size) <= cfg.thumbnail_size
+
+    # and the served prediction carries it verbatim
+    from image_search_engine_tpu.utils.imageio import load_image
+
+    pred = engine.query(load_image(engine.paths[0]), k=2)
+    assert pred[0][1] == cache.get_b64(0)
+
+
+def test_stale_thumbnail_cache_ignored(corpus_dir):
+    from image_search_engine_tpu.utils.imageio import ThumbnailCache, load_paths_csv
+
+    cfg = _cfg(corpus_dir, method=Method.DHASH)
+    indexer_main(cfg)
+    # truncate the cache to simulate an index rebuilt without thumbnails
+    paths = load_paths_csv(cfg.paths_file)
+    ThumbnailCache.build(paths[:-1], cfg.thumbnails_path, cfg.thumbnail_size)
+
+    engine = QueryEngine(cfg)
+    assert engine.thumbs is None  # stale cache rejected, PIL fallback
+    from image_search_engine_tpu.utils.imageio import load_image
+
+    pred = engine.query(load_image(engine.paths[0]), k=2)
+    assert pred[0][1]  # thumbnail still present via fallback
