@@ -29,7 +29,7 @@ import numpy as np
 
 N = 1_000_000
 D = 128
-Q = 256  # queries per dispatch
+Q = 2048  # queries per dispatch (throughput knee; see benchmarks/q_scaling.py)
 K = 10
 ITERS = 30
 
@@ -42,8 +42,8 @@ def main() -> None:
 
     on_tpu = jax.default_backend() == "tpu"
     if not on_tpu:
-        global N, ITERS
-        N, ITERS = 100_000, 5  # CPU smoke fallback
+        global N, ITERS, Q
+        N, ITERS, Q = 100_000, 5, 64  # CPU smoke fallback
 
     rng = np.random.default_rng(0)
     xh = rng.standard_normal((N, D)).astype(np.float32)
