@@ -407,6 +407,15 @@ def topk_twophase(
         (tile_n // GROUP, qp), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     out_shape = jax.ShapeDtypeStruct((ngroups, qp), jnp.float32)
+    # The epilogue's (Qp, tile_n) f32 scores buffer dominates the kernel's
+    # scoped-VMEM footprint; the 16 MB default limit rejects large query
+    # batches, so size the limit to the actual buffers (v5e has 128 MB).
+    vmem_bytes = min(
+        int(1.5 * (qp * tile_n * 4 + 2 * tile_n * dp * xf.dtype.itemsize
+                   + qp * dp * 4)) + (1 << 20),
+        112 * (1 << 20),
+    )
+    cparams = pltpu.CompilerParams(vmem_limit_bytes=vmem_bytes)
     if is_int8:
         mins = pl.pallas_call(
             functools.partial(_groupmin_kernel_q8, tile_n=tile_n),
@@ -420,6 +429,7 @@ def topk_twophase(
             ],
             out_specs=out_spec,
             out_shape=out_shape,
+            compiler_params=cparams,
             interpret=interpret,
         )(qf, qs_pad, norms, scale_pad, xf)
     else:
@@ -433,6 +443,7 @@ def topk_twophase(
             ],
             out_specs=out_spec,
             out_shape=out_shape,
+            compiler_params=cparams,
             interpret=interpret,
         )(qf, norms, xf)
     mins = mins.T  # (Qp, ngroups)
@@ -451,8 +462,12 @@ def topk_twophase(
     vecs = xf.reshape(ngroups, GROUP, dp)[cand_groups]  # (Q, t, GROUP, dp)
     vecs = vecs.reshape(qn_rows, t * GROUP, dp)
     if is_int8:
-        # dequantize candidates for the full-precision rescore
-        vecs = vecs.astype(jnp.float32) * scale_pad[flat_ids][..., None]
+        # dequantize candidates for the full-precision rescore (scales
+        # gathered as whole groups too, same contiguity argument)
+        cand_scales = scale_pad.reshape(ngroups, GROUP)[cand_groups].reshape(
+            qn_rows, t * GROUP
+        )
+        vecs = vecs.astype(jnp.float32) * cand_scales[..., None]
         qf = jnp.pad(q.astype(jnp.float32), ((0, qp - qn_rows), (0, dp - d)))
         if metric == "ip":
             qf = qf * 0.5

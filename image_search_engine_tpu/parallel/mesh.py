@@ -23,6 +23,33 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     return Mesh(np.array(devs), axis_names=(axis,))
 
 
+def init_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> int:
+    """Join a multi-host (DCN) job: ``jax.distributed.initialize`` so
+    ``jax.devices()`` spans every host's chips and the 1-D mesh (and all
+    collectives riding it) extends across the slice boundary.
+
+    Call once per process before any other JAX use. With no arguments, JAX
+    auto-detects cluster parameters from the TPU environment; pass them
+    explicitly for manual multi-process runs. Returns the global device
+    count. (The reference is strictly single-process — SURVEY.md §2.3; this
+    is the DCN half of the BASELINE-mandated scale-out, the ICI half being
+    the mesh itself.)
+    """
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    jax.distributed.initialize(**kwargs)
+    return len(jax.devices())
+
+
 def shard_rows(x, mesh: Mesh, axis: str = "data"):
     """Place (N, ...) array row-sharded over the mesh axis. N must be
     divisible by the mesh size (pad first — see index/store.py)."""
