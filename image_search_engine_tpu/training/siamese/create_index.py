@@ -75,8 +75,12 @@ def main(argv=None) -> None:
     ap.add_argument("--out-csv", type=Path, default=Path("artifacts/siamese_images.csv"))
     ap.add_argument("--manual", action="store_true")
     ap.add_argument("--backbone", default="densenet121")
+    ap.add_argument("--image-size", type=int, nargs=2, default=(352, 256),
+                    metavar=("H", "W"))
+    ap.add_argument("--embedding-dim", type=int, default=128)
     a = ap.parse_args(argv)
-    cfg = SiameseConfig(ckpt_dir=a.ckpt_dir, backbone=a.backbone)
+    cfg = SiameseConfig(ckpt_dir=a.ckpt_dir, backbone=a.backbone,
+                        image_size=tuple(a.image_size), embedding_dim=a.embedding_dim)
     create_index(cfg, a.images_dir, a.out_index, a.out_csv, manual=a.manual)
 
 

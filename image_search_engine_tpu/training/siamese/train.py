@@ -320,10 +320,19 @@ def main(argv=None) -> None:
     ap.add_argument("--epochs", type=int, default=100)
     ap.add_argument("--batch-size", type=int, default=32)
     ap.add_argument("--backbone", default="densenet121")
+    ap.add_argument("--image-size", type=int, nargs=2, default=(352, 256),
+                    metavar=("H", "W"))
+    ap.add_argument("--embedding-dim", type=int, default=128)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--unfreeze-backbone", action="store_true",
+                    help="train the backbone too (default: head only, like "
+                    "the reference's FREEZE_BACKBONE)")
     a = ap.parse_args(argv)
     cfg = SiameseConfig(
         train_dir=a.train_dir, valid_dir=a.valid_dir, ckpt_dir=a.ckpt_dir,
         loss=a.loss, epochs=a.epochs, batch_size=a.batch_size, backbone=a.backbone,
+        image_size=tuple(a.image_size), embedding_dim=a.embedding_dim, lr=a.lr,
+        freeze_backbone=not a.unfreeze_backbone,
     )
     Trainer(cfg).run()
 
