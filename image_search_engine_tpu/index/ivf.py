@@ -63,15 +63,54 @@ def _build_lists(codes: np.ndarray, nlist: int, row_offset: int = 0) -> np.ndarr
     return lists
 
 
+def _build_buckets(
+    codes: np.ndarray, nlist: int, cap_factor: float = 1.3
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Balanced padded inverted lists: cells larger than the cap are SPLIT
+    into multiple fixed-width buckets that duplicate the cell's centroid.
+
+    A single (nlist, max_over_all_cells) rectangle is TPU-static but its
+    memory and probe-gather cost scale with the LARGEST cell — on skewed
+    data that is unbounded (a 1M-corpus run measured max_list 6.7x the
+    mean, a 3.4 GB table and an OOM probe gather). Capping the bucket
+    width at ~cap_factor x mean bounds both; a probe that ranks bucket
+    centroids sees a split cell's buckets at identical distance and walks
+    them adjacently, so ``nprobe`` buckets ~= nprobe * cap rows scanned.
+
+    Returns (lists (nbuckets, cap) int32 row ids with -1 padding,
+    bucket_cell (nbuckets,) int32 owning-cell ids).
+    """
+    n = codes.shape[0]
+    counts = np.bincount(codes, minlength=nlist)
+    cap = _round_up(max(8, int(np.ceil(cap_factor * max(n, 1) / max(nlist, 1)))), 8)
+    order = np.argsort(codes, kind="stable")
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    lists_rows, bucket_cell = [], []
+    for c in range(nlist):
+        rows = order[starts[c] : starts[c + 1]]
+        nb = max(1, -(-len(rows) // cap))
+        for b in range(nb):
+            chunk = rows[b * cap : (b + 1) * cap]
+            padded = np.full(cap, -1, np.int32)
+            padded[: len(chunk)] = chunk
+            lists_rows.append(padded)
+            bucket_cell.append(c)
+    return np.stack(lists_rows), np.asarray(bucket_cell, np.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "nprobe", "max_list"))
 def _ivf_search_kernel(
-    q, centroids, lists, list_valid, rows, k: int, nprobe: int, max_list: int
+    q, centroids, lists, list_valid, packed, packed_norms,
+    k: int, nprobe: int, max_list: int,
 ):
-    """Batched IVF scan: probe lists -> gather -> distance -> top-k.
+    """Batched IVF scan: probe lists -> block gather -> distance -> top-k.
 
-    q: (Q, d); centroids: (nlist, d); lists: (nlist, max_list) int32 row ids
-    into ``rows``; list_valid: (nlist, max_list) bool; rows: (N, d).
-    Returns (dist (Q, k) ascending, row ids (Q, k), pad mask).
+    q: (Q, d); centroids: (nlist, d); lists: (nlist, max_list) int32 GLOBAL
+    row ids (the result vocabulary); packed: (nlist, max_list, d) vectors
+    stored list-contiguous so probing a cell is one contiguous block read
+    (a flat row gather issues per-row random reads — the same pathology
+    the two-phase top-k's phase 2 had); packed_norms: (nlist, max_list)
+    with +inf at pad slots. Returns (dist (Q, k) ascending, ids, pad mask).
     """
     # nearest nprobe centroids per query
     cn = jnp.sum(centroids * centroids, axis=1)
@@ -80,12 +119,12 @@ def _ivf_search_kernel(
 
     cand = lists[probe].reshape(q.shape[0], nprobe * max_list)  # (Q, C)
     cand_valid = list_valid[probe].reshape(q.shape[0], nprobe * max_list)
-    vecs = rows[jnp.maximum(cand, 0)]  # (Q, C, d)
+    vecs = packed[probe].reshape(q.shape[0], nprobe * max_list, -1)  # (Q, C, d)
+    vn = packed_norms[probe].reshape(q.shape[0], nprobe * max_list)
 
     qn = jnp.sum(q * q, axis=1, keepdims=True)
-    vn = jnp.sum(vecs * vecs, axis=2)
     cross = jnp.einsum("qd,qcd->qc", q, vecs, preferred_element_type=jnp.float32)
-    dist = qn - 2.0 * cross + vn
+    dist = qn - 2.0 * cross + vn  # pad slots carry +inf norms
     dist = jnp.where(cand_valid, dist, jnp.inf)
 
     vals, pos = jax.lax.top_k(-dist, k)
@@ -114,7 +153,8 @@ class IVFIndex:
         self.nprobe = min(nprobe, nlist)
         self.mesh = mesh  # reserved: per-shard lists (round 2)
         self.seed = seed
-        self.centroids: Optional[np.ndarray] = None
+        self.centroids: Optional[np.ndarray] = None  # (nlist, d) cell centroids
+        self.bucket_cell: Optional[np.ndarray] = None  # (nbuckets,) cell of each bucket
         self.vectors: Optional[np.ndarray] = None
         self.lists: Optional[np.ndarray] = None
         self.list_valid: Optional[np.ndarray] = None
@@ -143,19 +183,54 @@ class IVFIndex:
         self.centroids = km.cluster_centers_
         codes = km.transform(x)[:, 0]
 
-        self.lists = _build_lists(codes, self.nlist)
+        self.lists, self.bucket_cell = _build_buckets(codes, self.nlist)
         self.list_valid = self.lists >= 0
+        self._pack()
         return self
+
+    def _pack(self) -> None:
+        """List-contiguous vector layout: probing a bucket reads one
+        contiguous (cap, d) block instead of cap random rows. Split cells'
+        buckets duplicate the cell centroid so probing ranks buckets; the
+        duplicates tie at the cell's distance, so a split cell's buckets
+        are probed adjacently."""
+        self.packed = self.vectors[np.maximum(self.lists, 0)]
+        self.packed[~self.list_valid] = 0.0
+        self.packed_norms = np.where(
+            self.list_valid, (self.packed * self.packed).sum(axis=2), np.inf
+        ).astype(np.float32)
+        self.bucket_centroids = self.centroids[self.bucket_cell]
+        self._dev = None  # invalidate cached device arrays
+
+    def _effective_nprobe(self) -> int:
+        """Buckets to probe so the expected scanned-row count matches the
+        user's cell-denominated nprobe (cells split into b buckets need b
+        probe slots to cover)."""
+        nb = self.lists.shape[0]
+        scaled = -(-self.nprobe * nb // self.nlist)
+        return int(min(nb, max(self.nprobe, scaled)))
+
+    def _device_arrays(self):
+        """Device-resident search state, uploaded once (a per-call
+        jnp.asarray would re-transfer the packed table on every query)."""
+        if getattr(self, "_dev", None) is None:
+            self._dev = (
+                jnp.asarray(self.bucket_centroids), jnp.asarray(self.lists),
+                jnp.asarray(self.list_valid), jnp.asarray(self.packed),
+                jnp.asarray(self.packed_norms),
+            )
+        return self._dev
 
     def search(self, q: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
         assert self.vectors is not None, "add() first"
         q = self._prep(np.atleast_2d(np.asarray(q, np.float32)))
         # probed candidate pool can be smaller than k
-        k_eff = min(k, self.ntotal, self.nprobe * self.lists.shape[1])
+        nprobe = self._effective_nprobe()
+        k_eff = min(k, self.ntotal, nprobe * self.lists.shape[1])
+        bcents, lists, valid, packed, pnorms = self._device_arrays()
         d, i, ok = _ivf_search_kernel(
-            jnp.asarray(q), jnp.asarray(self.centroids), jnp.asarray(self.lists),
-            jnp.asarray(self.list_valid), jnp.asarray(self.vectors),
-            k_eff, self.nprobe, self.lists.shape[1],
+            jnp.asarray(q), bcents, lists, valid, packed, pnorms,
+            k_eff, nprobe, self.lists.shape[1],
         )
         d, i, ok = np.array(d), np.array(i), np.array(ok)
         i[~ok] = -1  # faiss returns -1 when probes hold < k candidates
@@ -173,7 +248,8 @@ class IVFIndex:
     def save(self, path: str | Path) -> None:
         np.savez_compressed(
             path, vectors=self.vectors, centroids=self.centroids,
-            lists=self.lists, metric=np.array(self.metric),
+            lists=self.lists, bucket_cell=self.bucket_cell,
+            metric=np.array(self.metric),
             nprobe=np.int64(self.nprobe), kind=np.array(self.metric_kind),
         )
 
@@ -185,19 +261,22 @@ class IVFIndex:
         self.vectors = z["vectors"]
         self.centroids = z["centroids"]
         self.lists = z["lists"]
+        self.bucket_cell = z["bucket_cell"]
         self.list_valid = self.lists >= 0
+        self._pack()
         return self
 
 
 @functools.partial(jax.jit, static_argnames=("k", "nprobe", "max_list", "m"))
 def _ivfpq_search_kernel(
-    q, centroids, lists, list_valid, codes, pq_books,
+    q, centroids, lists, list_valid, packed_codes, pq_books,
     k: int, nprobe: int, max_list: int, m: int,
 ):
     """ADC scan: LUT of query-residual-to-codeword distances, summed per
     candidate via one-hot einsum (MXU-friendly LUT lookup).
 
-    codes: (N, m) int32; pq_books: (m, 256, dsub).
+    packed_codes: (nlist, max_list, m) int32 stored list-contiguous (one
+    block read per probed cell); pq_books: (m, 256, dsub).
     """
     qn_, d = q.shape
     dsub = d // m
@@ -218,7 +297,7 @@ def _ivfpq_search_kernel(
         )  # (Q, m, 256)
         cand = lists[probe[:, p]]  # (Q, max_list)
         valid = list_valid[probe[:, p]]
-        ccodes = codes[jnp.maximum(cand, 0)]  # (Q, max_list, m)
+        ccodes = packed_codes[probe[:, p]]  # (Q, max_list, m) block gather
         one_hot = jax.nn.one_hot(ccodes, 256, dtype=jnp.float32)  # (Q, L, m, 256)
         dist = jnp.einsum("qlmk,qmk->ql", one_hot, lut,
                           preferred_element_type=jnp.float32)
@@ -283,7 +362,23 @@ class IVFPQIndex(IVFIndex):
             codes.append(km.transform(resid[:, j])[:, 0].astype(np.uint8))
         self.pq_books = np.stack(books)
         self.codes = np.stack(codes, axis=1)
+        self._pack_codes()
         return self
+
+    def _pack_codes(self) -> None:
+        """List-contiguous code layout, mirroring IVFIndex._pack."""
+        self.packed_codes = self.codes.astype(np.int32)[np.maximum(self.lists, 0)]
+        self.packed_codes[~self.list_valid] = 0
+        self._dev_pq = None
+
+    def _device_arrays_pq(self):
+        if getattr(self, "_dev_pq", None) is None:
+            self._dev_pq = (
+                jnp.asarray(self.bucket_centroids), jnp.asarray(self.lists),
+                jnp.asarray(self.list_valid), jnp.asarray(self.packed_codes),
+                jnp.asarray(self.pq_books),
+            )
+        return self._dev_pq
 
     def _assign_cells(self, x) -> np.ndarray:
         codes, _ = assign_jax(jnp.asarray(x), jnp.asarray(self.centroids))
@@ -292,12 +387,12 @@ class IVFPQIndex(IVFIndex):
     def search(self, q: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
         assert self.codes is not None, "add() first"
         q = self._prep(np.atleast_2d(np.asarray(q, np.float32)))
-        k_eff = min(k, self.ntotal, self.nprobe * self.lists.shape[1])
+        nprobe = self._effective_nprobe()
+        k_eff = min(k, self.ntotal, nprobe * self.lists.shape[1])
+        bcents, lists, valid, pcodes, books = self._device_arrays_pq()
         d, i, ok = _ivfpq_search_kernel(
-            jnp.asarray(q), jnp.asarray(self.centroids), jnp.asarray(self.lists),
-            jnp.asarray(self.list_valid), jnp.asarray(self.codes.astype(np.int32)),
-            jnp.asarray(self.pq_books),
-            k_eff, self.nprobe, self.lists.shape[1], self.m,
+            jnp.asarray(q), bcents, lists, valid, pcodes, books,
+            k_eff, nprobe, self.lists.shape[1], self.m,
         )
         d, i, ok = np.array(d), np.array(i), np.array(ok)
         i[~ok] = -1
@@ -309,7 +404,7 @@ class IVFPQIndex(IVFIndex):
         # class's stated memory win); store_raw=True keeps them for recall
         # evaluation.
         payload = dict(
-            centroids=self.centroids, lists=self.lists,
+            centroids=self.centroids, lists=self.lists, bucket_cell=self.bucket_cell,
             metric=np.array(self.metric), nprobe=np.int64(self.nprobe),
             kind=np.array(self.metric_kind), pq_books=self.pq_books, codes=self.codes,
             ntotal=np.int64(self.ntotal),
@@ -327,7 +422,12 @@ class IVFPQIndex(IVFIndex):
         self._ntotal = int(z["ntotal"]) if "ntotal" in z.files else None
         self.centroids = z["centroids"]
         self.lists = z["lists"]
+        self.bucket_cell = z["bucket_cell"]
         self.list_valid = self.lists >= 0
         self.pq_books = z["pq_books"]
         self.codes = z["codes"]
+        self.bucket_centroids = self.centroids[self.bucket_cell]
+        self._pack_codes()
+        if self.vectors is not None:
+            self._pack()
         return self

@@ -108,9 +108,10 @@ def test_sharded_ivf_partial_probe_recall(corpus):
     _, si = sharded.search(q, 10)
     _, fi = flat.search(q, 10)
     assert recall_at_k(si, fi) >= 0.95
-    # sharded and unsharded IVF probe the same cells -> identical results
+    # bucketization is per-shard, so results may differ from the unsharded
+    # index near the probe frontier — recall parity is the contract
     _, ui = ivf.search(q, 10)
-    np.testing.assert_array_equal(si, ui)
+    assert recall_at_k(si, ui) >= 0.9
 
 
 def test_cosine_semantics_consistent_across_index_types(rng):
@@ -136,3 +137,34 @@ def test_ivfpq_save_excludes_raw_vectors_by_default(corpus, tmp_path):
     d1, i1 = pq.search(q, 5)
     d2, i2 = pq2.search(q, 5)
     np.testing.assert_array_equal(i1, i2)
+
+
+def test_skewed_cells_split_into_bounded_buckets(rng):
+    from image_search_engine_tpu.index.ivf import _build_buckets
+
+    # 90% of rows in one cell: the padded-rectangle layout would size EVERY
+    # list at the largest cell; buckets cap the width and split the hot cell
+    codes = np.concatenate([np.zeros(900, np.int64),
+                            rng.integers(1, 8, 100)]).astype(np.int64)
+    lists, bucket_cell = _build_buckets(codes, 8)
+    cap = lists.shape[1]
+    assert cap <= int(np.ceil(1.3 * 1000 / 8)) + 8  # ~1.3x mean, not 900
+    assert lists.shape[0] > 8  # the hot cell split into several buckets
+    assert (bucket_cell == 0).sum() == -(-900 // cap)
+    # every row lands in exactly one bucket of its own cell
+    got = lists[lists >= 0]
+    assert sorted(got.tolist()) == list(range(1000))
+    owner = np.repeat(bucket_cell, cap)[(lists >= 0).ravel()]
+    np.testing.assert_array_equal(owner, codes[got])
+
+    # end-to-end recall on skewed-but-clusterable data (forced small cap)
+    x = np.concatenate([
+        rng.standard_normal((900, 16)).astype(np.float32) * 0.1,
+        rng.standard_normal((100, 16)).astype(np.float32) + 8.0,
+    ])
+    ivf = IVFIndex(nlist=8, nprobe=4).add(x)
+    q = x[rng.choice(1000, 32, replace=False)] + 0.01 * rng.standard_normal((32, 16)).astype(np.float32)
+    flat = FlatIndex("l2").add(x)
+    _, fi = flat.search(q, 5)
+    _, ii = ivf.search(q, 5)
+    assert recall_at_k(ii, fi) >= 0.9  # scaled nprobe covers the split cells
