@@ -361,6 +361,9 @@ def make_handler(engine: QueryEngine):
             if self.path == "/stats":
                 self._json(200, engine.stats.snapshot())
                 return
+            if self.path not in ("/", "/index.html"):
+                self._json(404, {"error": "unknown endpoint"})
+                return
             page = _UI_HTML.encode()
             self.send_response(200)
             self.send_header("Content-Type", "text/html")
