@@ -1,0 +1,140 @@
+"""Round 2 of phase-2 tuning: candidate GROUP width + margin sweep.
+
+rescore_variants.py measured: bf16 rescore = no change (XLA wasn't
+materializing an f32 copy), t=k+2 = +11% (gather traffic is the binding
+term and scales with t). So: cut the other gather factor, the group width.
+Phase 1 emits per-G-column minima (G in {128, 64, 32}); phase 2 gathers
+t groups of G rows each — traffic scales with t*G.
+
+The covering proof is width-independent: each of the k nearest lives in
+some group whose min <= kth distance, and at most k groups can have such a
+min, so t >= k groups cover exactly (margin absorbs bf16 ties).
+
+    python benchmarks/rescore_variants2.py
+"""
+
+from __future__ import annotations
+
+import functools
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+N, D, Q, K, ITERS = 1_000_000, 128, 2048, 10, 20
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from image_search_engine_tpu.ops import topk_pallas as tp
+    from image_search_engine_tpu.parallel.topk import PAD_NORM
+
+    assert jax.default_backend() == "tpu", "run on the TPU"
+
+    rng = np.random.default_rng(0)
+    xh = rng.standard_normal((N, D)).astype(np.float32)
+    x = jnp.asarray(xh, jnp.bfloat16)
+    xn = jnp.sum(jnp.asarray(xh) * jnp.asarray(xh), axis=1)
+    qh = rng.standard_normal((ITERS, Q, D)).astype(np.float32)
+    qs = [jnp.asarray(qh[i]) for i in range(ITERS)]
+
+    q8 = qh[0][:8].astype(np.float64)
+    x64 = xh.astype(np.float64)
+    d64 = (q8**2).sum(1)[:, None] - 2.0 * q8 @ x64.T + (x64**2).sum(1)[None, :]
+    ref_i = np.argsort(d64, axis=1)[:, :K]
+
+    def recall(idx):
+        got = np.asarray(idx)[:8]
+        return float(np.mean([len(set(a) & set(b)) / K
+                              for a, b in zip(got.tolist(), ref_i.tolist())]))
+
+    tile_n = 4096
+    npad = tp._round_up(N, tile_n)
+
+    def groupmin_kernel(q_ref, xn_ref, x_ref, out_ref, *, tile_n, group):
+        prec = None  # bf16 operands: native MXU path
+        cross = jax.lax.dot_general(
+            q_ref[:], x_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        scores = xn_ref[:][None, :] - 2.0 * cross
+        mins = []
+        for g in range(tile_n // group):
+            mins.append(jnp.min(scores[:, g * group : (g + 1) * group], axis=1))
+        out_ref[:] = jnp.stack(mins, axis=0)
+
+    @functools.partial(jax.jit, static_argnames=("t_margin", "group"))
+    def twophase_var(q, x, xnorms, *, t_margin, group):
+        qn_rows, d = q.shape
+        dp = tp._round_up(d, 128)
+        qp = tp._round_up(qn_rows, 16)
+        ngroups = npad // group
+        qf = jnp.pad(q.astype(jnp.bfloat16), ((0, qp - qn_rows), (0, dp - d)))
+        xf = jnp.pad(x, ((0, npad - N), (0, dp - d)))
+        norms = jnp.pad(xnorms, (0, npad - N), constant_values=PAD_NORM)
+
+        vmem_bytes = min(int(1.5 * (qp * tile_n * 4 + 2 * tile_n * dp * 2
+                                    + qp * dp * 4)) + (1 << 20), 112 << 20)
+        mins = pl.pallas_call(
+            functools.partial(groupmin_kernel, tile_n=tile_n, group=group),
+            grid=(npad // tile_n,),
+            in_specs=[
+                pl.BlockSpec((qp, dp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_n,), lambda i: (i,), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_n, dp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tile_n // group, qp), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((ngroups, qp), jnp.float32),
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_bytes),
+        )(qf, norms, xf).T
+
+        t = min(K + t_margin, ngroups)
+        _, cand_groups = jax.lax.top_k(-mins[:qn_rows], t)
+        offsets = jnp.arange(group, dtype=jnp.int32)
+        flat_ids = (cand_groups[..., None] * group + offsets).reshape(qn_rows, t * group)
+        vecs = xf.reshape(ngroups, group, dp)[cand_groups].reshape(qn_rows, t * group, dp)
+        cn = norms.reshape(ngroups, group)[cand_groups].reshape(qn_rows, t * group)
+        cross = jnp.einsum("qd,qcd->qc", qf[:qn_rows], vecs,
+                           preferred_element_type=jnp.float32)
+        dist = cn - 2.0 * cross
+        vals, pos = jax.lax.top_k(-dist, K)
+        ids = jnp.take_along_axis(flat_ids, pos, axis=1)
+        qnorm = jnp.sum(q.astype(jnp.float32) * q, axis=1, keepdims=True)
+        return jnp.maximum(-vals + qnorm, 0.0), ids
+
+    tiny = jax.jit(lambda v: v + 1.0)
+    _ = np.asarray(tiny(jnp.zeros((8, 128))))
+    t0 = time.time()
+    for _ in range(3):
+        _ = np.asarray(tiny(jnp.zeros((8, 128))))
+    rtt = (time.time() - t0) / 3
+
+    def run(name, fn):
+        d, i = fn(qs[0])
+        _ = np.asarray(d)
+        t0 = time.time()
+        for it in range(ITERS):
+            d, i = fn(qs[it])
+        _ = np.asarray(d)
+        el = max(time.time() - t0 - rtt, 1e-9)
+        r = recall(fn(qs[0])[1])
+        print(f"{name}: {el/ITERS*1e3:.2f} ms/dispatch, "
+              f"{ITERS*Q/el/1e3:.1f}k QPS, recall@10={r:.3f}", flush=True)
+
+    run("G=128 t=k+1", lambda q: twophase_var(q, x, xn, t_margin=1, group=128))
+    run("G=64  t=k+2", lambda q: twophase_var(q, x, xn, t_margin=2, group=64))
+    run("G=64  t=k+4", lambda q: twophase_var(q, x, xn, t_margin=4, group=64))
+    run("G=32  t=k+2", lambda q: twophase_var(q, x, xn, t_margin=2, group=32))
+
+
+if __name__ == "__main__":
+    main()

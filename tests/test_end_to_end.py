@@ -145,6 +145,15 @@ def test_http_contract(corpus_dir):
             raise AssertionError("expected 400")
         except urllib.error.HTTPError as e:
             assert e.code == 400
+
+        # UI only at /; unknown GET paths are 404
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/") as r:
+            assert b"<html" in r.read()[:200]
+        try:
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/nope")
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
     finally:
         httpd.shutdown()
 
