@@ -53,8 +53,10 @@ def main() -> None:
     qs = [jnp.asarray(qh[i]) for i in range(ITERS)]
 
     def search(q):
+        # t_margin=3: smallest candidate margin with 0 mismatches vs the
+        # wide-margin truth over 40960 queries (benchmarks/margin_validation.py)
         return topk_twophase(q, x, K, "l2", x_norms=xn, tile_n=4096,
-                             interpret=not on_tpu)
+                             t_margin=3, interpret=not on_tpu)
 
     # RTT: tiny op + readback
     tiny = jax.jit(lambda v: v + 1.0)
@@ -76,12 +78,13 @@ def main() -> None:
     elapsed = max(time.time() - t0 - rtt, 1e-9)
     qps = ITERS * Q / elapsed
 
-    # recall@10 vs float64 brute force on 8 queries
-    q8 = qh[0][:8].astype(np.float64)
-    x64 = xh.astype(np.float64)
-    d64 = (q8**2).sum(1)[:, None] - 2.0 * q8 @ x64.T + (x64**2).sum(1)[None, :]
-    ref_i = np.argsort(d64, axis=1)[:, :K]
-    got_i = np.asarray(search(qs[0])[1])[:8]
+    # recall@10 vs f32 brute force over the ENTIRE first dispatch (Q
+    # queries) — the honest number; small-sample spot checks hide the
+    # bf16-store quantization tail (~10 s of host matmul at 2048 x 1M).
+    q0 = qh[0]
+    d_full = (q0**2).sum(1)[:, None] - 2.0 * q0 @ xh.T + (xh**2).sum(1)[None, :]
+    ref_i = np.argpartition(d_full, K, axis=1)[:, :K]
+    got_i = np.asarray(search(qs[0])[1])
     recall = float(np.mean(
         [len(set(a) & set(b)) / K for a, b in zip(got_i.tolist(), ref_i.tolist())]
     ))

@@ -308,7 +308,7 @@ def quantize_store_int8(x) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "metric", "tile_n", "interpret")
+    jax.jit, static_argnames=("k", "metric", "tile_n", "t_margin", "interpret")
 )
 def topk_twophase(
     q: jnp.ndarray,
@@ -319,6 +319,7 @@ def topk_twophase(
     x_norms: Optional[jnp.ndarray] = None,
     x_scale: Optional[jnp.ndarray] = None,
     tile_n: int = 4096,
+    t_margin: int = 4,
     interpret: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact k-NN via grouped-min sweep + candidate rescan. Same contract
@@ -326,12 +327,19 @@ def topk_twophase(
     phase-1 Pallas kernel is one matmul + one reduction pass per tile.
 
     Store dtype controls the sweep's HBM traffic: float32, bfloat16, or
-    int8 (pass ``x_scale`` (N,) per-row dequant scales — phase-1 scans the
-    quantized values, so at int8 the group-min selection is approximate to
-    quantization error while the candidate margin (+4 groups) and the
-    phase-2 rescore keep recall@k ~1 in practice). Measured on v5e: bf16 is
-    the fastest (the in-kernel int8->bf16 cast costs a Mosaic retiling that
-    outweighs the DMA savings); int8 is a memory-capacity option.
+    int8 (pass ``x_scale`` (N,) per-row dequant scales — both phases then
+    score the quantized values with per-row-quantized queries on the MXU's
+    native int8 path, so results are exact over the quantized store).
+
+    ``t_margin`` sets the candidate width t = k + t_margin. k groups
+    provably cover the exact answer under exact arithmetic; the margin
+    absorbs phase-1/phase-2 float-accumulation-order swaps near the k-th
+    boundary. Measured at 1M x 128 / k=10 / Q=2048 (40960-query agreement
+    sweeps vs the wide margin, benchmarks/margin_validation.py): bf16
+    margins 0/1/2 lose a neighbor on 1538/67/2 queries, margin 3 measured
+    0 mismatches (int8: margin 2 already 0). Throughput scales ~(k+m)/(k+4)
+    since the phase-2 candidate gather is the binding term. The default
+    keeps the full cushion; tuned callers (bench.py) pass 3.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -455,39 +463,42 @@ def topk_twophase(
     # 32 KB DMA per group instead of 128 random 256 B row reads (the row
     # gather capped throughput at ~26k QPS; block reads ride the streaming
     # bandwidth).
-    t = min(k + 4, ngroups)
+    t = min(k + t_margin, ngroups)
     _, cand_groups = jax.lax.top_k(-mins[:qn_rows], t)  # (Q, t)
     offsets = jnp.arange(GROUP, dtype=jnp.int32)
     flat_ids = (cand_groups[..., None] * GROUP + offsets).reshape(qn_rows, t * GROUP)
     vecs = xf.reshape(ngroups, GROUP, dp)[cand_groups]  # (Q, t, GROUP, dp)
     vecs = vecs.reshape(qn_rows, t * GROUP, dp)
+    cn = norms.reshape(ngroups, GROUP)[cand_groups].reshape(qn_rows, t * GROUP)  # poisoned at pads
     if is_int8:
-        # dequantize candidates for the full-precision rescore (scales
-        # gathered as whole groups too, same contiguity argument)
+        # rescore on the int8 codes directly: int8 x int8 -> int32 on the
+        # MXU, dequant folded into the tiny (Q, t*GROUP) epilogue. The old
+        # dequantize-then-f32-einsum materialized (Q, t*GROUP, d) in f32 —
+        # 4x the gather traffic — and measured 13% slower at Q=2048.
+        # Scales gathered as whole groups too (same contiguity argument).
         cand_scales = scale_pad.reshape(ngroups, GROUP)[cand_groups].reshape(
             qn_rows, t * GROUP
         )
-        vecs = vecs.astype(jnp.float32) * cand_scales[..., None]
-        qf = jnp.pad(q.astype(jnp.float32), ((0, qp - qn_rows), (0, dp - d)))
-        if metric == "ip":
-            qf = qf * 0.5
-    cn = norms.reshape(ngroups, GROUP)[cand_groups].reshape(qn_rows, t * GROUP)  # poisoned at pads
-    if metric == "l2":
+        cross_i = jnp.einsum("qd,qcd->qc", qf[:qn_rows], vecs,
+                             preferred_element_type=jnp.int32)
+        # qs_pad carries the per-query dequant scale (x0.5 for ip, matching
+        # phase 1), so this equals q . x_deq (l2) / 0.5 q . x_deq (ip)
+        cross = cross_i.astype(jnp.float32) * (qs_pad[:qn_rows, None] * cand_scales)
+    else:
+        # qf is already the store dtype (phase-1 consistency); bf16 x bf16
+        # products are exact in the f32 accumulator
+        prec = jax.lax.Precision.HIGHEST if xf.dtype == jnp.float32 else None
         cross = jnp.einsum("qd,qcd->qc", qf[:qn_rows], vecs,
-                           preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST)
+                           preferred_element_type=jnp.float32, precision=prec)
+    kk = min(k, t * GROUP)
+    if metric == "l2":
         dist = cn - 2.0 * cross
-        kk = min(k, t * GROUP)
         vals, pos = jax.lax.top_k(-dist, kk)
         ids = jnp.take_along_axis(flat_ids, pos, axis=1)
         qnorm = jnp.sum(q.astype(jnp.float32) * q, axis=1, keepdims=True)
         return jnp.maximum(-vals + qnorm, 0.0), ids
-    # ip: qf was pre-scaled by 0.5, so 2*(qf . v) restores the true score
-    cross = jnp.einsum("qd,qcd->qc", qf[:qn_rows], vecs,
-                       preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST) * 2.0
-    score = cross - cn
-    kk = min(k, t * GROUP)
+    # ip: cross is 0.5 q.x (q or its scale pre-halved), so 2x restores it
+    score = 2.0 * cross - cn
     vals, pos = jax.lax.top_k(score, kk)
     ids = jnp.take_along_axis(flat_ids, pos, axis=1)
     return vals, ids
