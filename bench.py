@@ -48,15 +48,19 @@ def main() -> None:
     rng = np.random.default_rng(0)
     xh = rng.standard_normal((N, D)).astype(np.float32)
     x = jnp.asarray(xh, jnp.bfloat16)
-    xn = jnp.sum(jnp.asarray(xh) * jnp.asarray(xh), axis=1)
+    # store-true norms: both phases score the bf16 values, so the result
+    # is provably exact over the bf16 store
+    xb32 = np.asarray(x, np.float32)
+    xn = jnp.asarray(np.sum(xb32 * xb32, axis=1))
     qh = rng.standard_normal((ITERS, Q, D)).astype(np.float32)
     qs = [jnp.asarray(qh[i]) for i in range(ITERS)]
 
     def search(q):
-        # t_margin=3: smallest candidate margin with 0 mismatches vs the
-        # wide-margin truth over 40960 queries (benchmarks/margin_validation.py)
+        # fused Pallas phase 2 (default); t_margin=2: smallest candidate
+        # margin with 0 mismatches vs the wide-margin truth over 40960
+        # queries (benchmarks/fused_production.py)
         return topk_twophase(q, x, K, "l2", x_norms=xn, tile_n=4096,
-                             t_margin=3, interpret=not on_tpu)
+                             t_margin=2, interpret=not on_tpu)
 
     # RTT: tiny op + readback
     tiny = jax.jit(lambda v: v + 1.0)

@@ -297,6 +297,69 @@ def _groupmin_kernel_q8(q_ref, qs_ref, xn_ref, scale_ref, x_ref, out_ref, *, til
     out_ref[:] = jnp.stack(mins, axis=0)
 
 
+def _fused_rescore_kernel(cand_ref, *refs, qb: int, f32_store: bool):
+    """Phase 2 fused: gather + rescore one candidate group per query row.
+
+    2-D grid (query row-block, candidate slot). The block index maps read
+    each query row's slot-th candidate group id from the scalar-prefetch
+    ref, so every step DMAs ``qb`` (GROUP, dp) store blocks (plus their
+    (GROUP,) norm blocks — 512 B next to the 32 KB vectors) straight into
+    VMEM — no (Q, t*GROUP, d) gather buffer in HBM (whose write + re-read
+    was the binding term at large Q: 141k -> 162k QPS at 1M x 128 x
+    Q=2048, benchmarks/gather_kernel_proto.py).
+
+    Scoring mirrors the XLA phase 2 exactly: score-to-minimize =
+    norms - 2 q.x, where for l2 ``norms`` are the caller's squared norms
+    and for ip they are the pad-poison penalty only (and q carries a 0.5
+    factor), so PAD_NORM-poisoned rows — the wrapper's own pads AND any
+    pre-padded rows inside the caller's store (index/store.py) — can
+    never enter the final top-k.
+    """
+    q_ref = refs[0]
+    x_refs = refs[1 : 1 + qb]
+    n_refs = refs[1 + qb : 1 + 2 * qb]
+    out_ref = refs[1 + 2 * qb]
+    prec = jax.lax.Precision.HIGHEST if f32_store else None
+    for j in range(qb):
+        xb = x_refs[j][:]  # (GROUP, dp) store dtype
+        cross = jax.lax.dot_general(
+            q_ref[j][None, :],
+            xb,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        )  # (1, GROUP)
+        out_ref[j, :] = (n_refs[j][0] - 2.0 * cross)[0]  # norms block (1, 1, GROUP)
+
+
+def _fused_rescore_kernel_q8(cand_ref, *refs, qb: int):
+    """int8 variant of ``_fused_rescore_kernel``: int8 query rows x int8
+    candidate blocks on the MXU's native int8 path; per-row dequant scales
+    (gathered next to the norm blocks) fold into the (1, GROUP) epilogue.
+    Candidate gather traffic is 4x smaller than f32 — and the phase-2
+    gather is the two-phase search's binding term at large Q."""
+    q_ref = refs[0]  # (qb, dp) int8
+    qs_ref = refs[1]  # (qb, GROUP) f32 lane-broadcast query scales (x0.5 for ip)
+    x_refs = refs[2 : 2 + qb]
+    n_refs = refs[2 + qb : 2 + 2 * qb]
+    s_refs = refs[2 + 2 * qb : 2 + 3 * qb]
+    out_ref = refs[2 + 3 * qb]
+    for j in range(qb):
+        xb = x_refs[j][:]  # (GROUP, dp) int8
+        cross = jax.lax.dot_general(
+            q_ref[j][None, :],
+            xb,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # (1, GROUP) int32
+        # qs_ref row j is the query's scale repeated across the 128 lanes;
+        # norm/scale blocks are (1, 1, GROUP)
+        score = n_refs[j][0] - cross.astype(jnp.float32) * (
+            (2.0 * qs_ref[j][None, :]) * s_refs[j][0]
+        )
+        out_ref[j, :] = score[0]
+
+
 def quantize_store_int8(x) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Symmetric per-row int8 quantization: returns (codes (N, d) int8,
     scales (N,) f32) with x ~= codes * scales[:, None]."""
@@ -308,7 +371,9 @@ def quantize_store_int8(x) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "metric", "tile_n", "t_margin", "interpret")
+    jax.jit,
+    static_argnames=("k", "metric", "tile_n", "t_margin", "interpret",
+                     "fused_rescore", "qb"),
 )
 def topk_twophase(
     q: jnp.ndarray,
@@ -321,6 +386,8 @@ def topk_twophase(
     tile_n: int = 4096,
     t_margin: int = 4,
     interpret: Optional[bool] = None,
+    fused_rescore: Optional[bool] = None,
+    qb: int = 8,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact k-NN via grouped-min sweep + candidate rescan. Same contract
     as ``topk_flat``/``topk_pallas``. Scales to large query batches: the
@@ -339,7 +406,18 @@ def topk_twophase(
     margins 0/1/2 lose a neighbor on 1538/67/2 queries, margin 3 measured
     0 mismatches (int8: margin 2 already 0). Throughput scales ~(k+m)/(k+4)
     since the phase-2 candidate gather is the binding term. The default
-    keeps the full cushion; tuned callers (bench.py) pass 3.
+    keeps the full cushion; tuned callers (bench.py) pass 3 (XLA phase 2)
+    or 2 (fused phase 2, validated separately).
+
+    ``fused_rescore`` (default on; all store dtypes) replaces the XLA
+    gather+einsum phase 2 with a Pallas kernel whose
+    block index maps select candidate groups via scalar prefetch — the
+    (Q, t*GROUP, d) gather buffer never exists in HBM, which moves the
+    1M x 128 x Q=2048 headline 141k -> ~162k QPS. Both phases read the
+    same ``x_norms`` (norm blocks are gathered next to the vector blocks
+    — 512 B vs 32 KB), so pad poisoning and phase-1/phase-2 norm
+    consistency hold by construction. ``qb`` is the kernel's query rows
+    per grid step.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -358,12 +436,17 @@ def topk_twophase(
     if metric not in ("l2", "ip"):
         raise ValueError(f"unsupported metric {metric!r}")
 
+    if fused_rescore is None:
+        fused_rescore = True
+
     qn_rows, d = q.shape
     n = x.shape[0]
     dp = _round_up(d, 128)
     # bf16 tiles want 16-row sublane alignment; int8 wants 32 (and the
     # query-scale vector wants a 128-wide lane dim)
     qp = _round_up(qn_rows, 128 if is_int8 else (16 if x.dtype != jnp.float32 else 8))
+    if fused_rescore:
+        qp = _round_up(qp, qb)  # fused grid steps over qb-row query blocks
     tile_n = min(tile_n, _round_up(n, GROUP))
     npad = _round_up(n, tile_n)
     ngroups = npad // GROUP
@@ -464,6 +547,97 @@ def topk_twophase(
     # gather capped throughput at ~26k QPS; block reads ride the streaming
     # bandwidth).
     t = min(k + t_margin, ngroups)
+    if fused_rescore:
+        # pad query rows participate (their scores are discarded); their
+        # candidate ids are in-range, so the gathers stay valid
+        _, cand_groups = jax.lax.top_k(-mins[:qp], t)  # (Qp, t)
+        cand_flat = cand_groups.reshape(-1).astype(jnp.int32)
+
+        def xn_map(j):
+            # step (i, jt): the jt-th candidate group of query row i*qb+j
+            return lambda i, jt, cand: (cand[(i * qb + j) * t + jt], 0)
+
+        def nn_map(j):
+            # same group id, on the LEADING dim of a (ngroups, 1, GROUP)
+            # view — like the vector blocks. (1-D f32 arrays carry an XLA
+            # T(1024) tile layout Mosaic can't block at 128 granularity; a
+            # (ngroups, GROUP) view needs 8-divisible sublane blocks; and a
+            # lane-dim map over a (1, npad) view compiled pathologically
+            # slowly, >20 min vs ~4 min for this form.)
+            return lambda i, jt, cand: (cand[(i * qb + j) * t + jt], 0, 0)
+
+        norms_2d = norms.reshape(ngroups, 1, GROUP)
+        out_spec2 = pl.BlockSpec((qb, GROUP), lambda i, jt, cand: (i, jt))
+        out_shape2 = jax.ShapeDtypeStruct((qp, t * GROUP), jnp.float32)
+        cparams2 = pltpu.CompilerParams(
+            vmem_limit_bytes=min(
+                int(3.0 * qb * (GROUP * dp * xf.dtype.itemsize + GROUP * 4))
+                + (4 << 20),
+                112 * (1 << 20),
+            )
+        )
+        if is_int8:
+            scales_2d = scale_pad.reshape(ngroups, 1, GROUP)
+            # lane-broadcast query scales: row j of the (qb, 128) block is
+            # query (i*qb+j)'s dequant scale in every lane
+            qs_2d = jnp.broadcast_to(qs_pad[:, None], (qp, GROUP))
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(qp // qb, t),
+                in_specs=[
+                    pl.BlockSpec((qb, dp), lambda i, jt, cand: (i, 0)),
+                    pl.BlockSpec((qb, GROUP), lambda i, jt, cand: (i, 0)),
+                    *[pl.BlockSpec((GROUP, dp), xn_map(j)) for j in range(qb)],
+                    *[pl.BlockSpec((1, 1, GROUP), nn_map(j)) for j in range(qb)],
+                    *[pl.BlockSpec((1, 1, GROUP), nn_map(j)) for j in range(qb)],
+                ],
+                out_specs=out_spec2,
+            )
+            scores = pl.pallas_call(
+                functools.partial(_fused_rescore_kernel_q8, qb=qb),
+                grid_spec=grid_spec,
+                out_shape=out_shape2,
+                compiler_params=cparams2,
+                interpret=interpret,
+            )(cand_flat, qf, qs_2d, *([xf] * qb), *([norms_2d] * qb),
+              *([scales_2d] * qb))
+        else:
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(qp // qb, t),
+                in_specs=[
+                    pl.BlockSpec((qb, dp), lambda i, jt, cand: (i, 0)),
+                    *[pl.BlockSpec((GROUP, dp), xn_map(j)) for j in range(qb)],
+                    *[pl.BlockSpec((1, 1, GROUP), nn_map(j)) for j in range(qb)],
+                ],
+                out_specs=out_spec2,
+            )
+            scores = pl.pallas_call(
+                functools.partial(
+                    _fused_rescore_kernel,
+                    qb=qb,
+                    f32_store=(xf.dtype == jnp.float32),
+                ),
+                grid_spec=grid_spec,
+                out_shape=out_shape2,
+                compiler_params=cparams2,
+                interpret=interpret,
+            )(cand_flat, qf, *([xf] * qb), *([norms_2d] * qb))
+        scores = scores[:qn_rows]
+        cand_groups = cand_groups[:qn_rows]
+        offs = jnp.arange(GROUP, dtype=jnp.int32)
+        flat_ids = (cand_groups[..., None] * GROUP + offs).reshape(
+            qn_rows, t * GROUP
+        )
+        kk = min(k, t * GROUP)
+        vals, pos = jax.lax.top_k(-scores, kk)
+        ids = jnp.take_along_axis(flat_ids, pos, axis=1)
+        if metric == "l2":
+            qnorm = jnp.sum(q.astype(jnp.float32) * q, axis=1, keepdims=True)
+            return jnp.maximum(-vals + qnorm, 0.0), ids
+        # ip: scores are penalty - q.x, so the negated top-k values are q.x
+        return vals, ids
+
     _, cand_groups = jax.lax.top_k(-mins[:qn_rows], t)  # (Q, t)
     offsets = jnp.arange(GROUP, dtype=jnp.int32)
     flat_ids = (cand_groups[..., None] * GROUP + offsets).reshape(qn_rows, t * GROUP)

@@ -55,29 +55,89 @@ def test_kmeans_with_pallas_assign(rng):
     np.testing.assert_allclose(km_p.cluster_centers_, km_j.cluster_centers_, rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.parametrize("fused", [True, False])
 @pytest.mark.parametrize("metric", ["l2", "ip", "cosine"])
 @pytest.mark.parametrize("n,d,q,k", [(500, 32, 5, 10), (3000, 96, 64, 20)])
-def test_topk_twophase_matches_reference(rng, metric, n, d, q, k):
+def test_topk_twophase_matches_reference(rng, fused, metric, n, d, q, k):
     from image_search_engine_tpu.ops.topk_pallas import topk_twophase
 
     qv = rng.standard_normal((q, d)).astype(np.float32)
     xv = rng.standard_normal((n, d)).astype(np.float32)
-    pd, pi = topk_twophase(qv, xv, k, metric, tile_n=512)
+    pd, pi = topk_twophase(qv, xv, k, metric, tile_n=512, fused_rescore=fused)
     rd, ri = D.topk_flat(qv, xv, k, metric)
     np.testing.assert_array_equal(np.asarray(pi), np.asarray(ri))
     np.testing.assert_allclose(np.asarray(pd), np.asarray(rd), rtol=2e-4, atol=2e-4)
 
 
-def test_topk_twophase_clustered_data(rng):
-    # clustered data stresses the "top-k concentrated in few groups" case
+def test_topk_twophase_fused_bf16_store(rng):
+    # fused phase 2 over a bf16 store: exact over the bf16 values, so it
+    # must agree with the f32 reference computed on the bf16-rounded store
+    import jax.numpy as jnp
+
+    from image_search_engine_tpu.ops.topk_pallas import topk_twophase
+
+    xv = rng.standard_normal((1500, 32)).astype(np.float32)
+    qv = rng.standard_normal((12, 32)).astype(np.float32)
+    xb = jnp.asarray(xv, jnp.bfloat16)
+    xb32 = np.asarray(xb, np.float32)
+    norms = np.sum(xb32 * xb32, axis=1)  # store-dtype-true norms (required)
+    pd, pi = topk_twophase(qv, xb, 8, "l2", x_norms=jnp.asarray(norms),
+                           tile_n=512, fused_rescore=True)
+    rd, ri = D.topk_flat(np.asarray(jnp.asarray(qv, jnp.bfloat16), np.float32),
+                         xb32, 8, "l2")
+    pi, ri = np.asarray(pi), np.asarray(ri)
+    recall = np.mean([len(set(a) & set(b)) / 8 for a, b in zip(pi.tolist(), ri.tolist())])
+    assert recall >= 0.95, recall
+
+
+@pytest.mark.parametrize("metric", ["l2", "ip"])
+def test_topk_twophase_fused_prepadded_store(rng, metric):
+    # a VectorStore-style pre-padded input: trailing zero rows whose norms
+    # are poisoned must never be returned, even for a query at the origin
+    # (regression: the first fused kernel recomputed norms in-kernel,
+    # un-poisoning interior pad rows)
+    import jax.numpy as jnp
+
+    from image_search_engine_tpu.ops.topk_pallas import topk_twophase
+    from image_search_engine_tpu.parallel.topk import PAD_NORM
+
+    n, npad, d = 50, 56, 16
+    xv = np.zeros((npad, d), np.float32)
+    xv[:n] = rng.standard_normal((n, d)).astype(np.float32) * 10  # far away
+    norms = np.full((npad,), PAD_NORM, np.float32)
+    norms[:n] = (xv[:n] ** 2).sum(1)
+    if metric == "ip":
+        xv[:n] = -np.abs(xv[:n])  # make real rows score below the 0 pads
+    qv = np.full((3, d), 1e-3, np.float32)  # ~origin: nearest to a zero row
+    pd, pi = topk_twophase(qv, xv, 5, metric, x_norms=jnp.asarray(norms),
+                           tile_n=128, fused_rescore=True)
+    assert np.asarray(pi).max() < n, np.asarray(pi)
+
+
+def test_topk_twophase_fused_odd_query_count(rng):
+    # qn not a multiple of qb: pad query rows must not corrupt results
+    from image_search_engine_tpu.ops.topk_pallas import topk_twophase
+
+    qv = rng.standard_normal((11, 24)).astype(np.float32)
+    xv = rng.standard_normal((700, 24)).astype(np.float32)
+    pd, pi = topk_twophase(qv, xv, 7, "l2", tile_n=256, fused_rescore=True, qb=4)
+    rd, ri = D.topk_flat(qv, xv, 7, "l2")
+    np.testing.assert_array_equal(np.asarray(pi), np.asarray(ri))
+
+
+@pytest.mark.parametrize("fused", [True, False])
+def test_topk_twophase_clustered_data(rng, fused):
+    # clustered data stresses the "top-k concentrated in few groups" case;
+    # exactly-tied distances may come back in either order (set compare)
     from image_search_engine_tpu.ops.topk_pallas import topk_twophase
 
     c = rng.standard_normal((5, 16)).astype(np.float32) * 5
     xv = np.concatenate([c[i] + 0.1 * rng.standard_normal((400, 16)).astype(np.float32) for i in range(5)])
     qv = c + 0.01
-    pd, pi = topk_twophase(qv, xv, 10, "l2", tile_n=512)
+    pd, pi = topk_twophase(qv, xv, 10, "l2", tile_n=512, fused_rescore=fused)
     rd, ri = D.topk_flat(qv, xv, 10, "l2")
-    np.testing.assert_array_equal(np.asarray(pi), np.asarray(ri))
+    np.testing.assert_array_equal(np.sort(np.asarray(pi), 1), np.sort(np.asarray(ri), 1))
+    np.testing.assert_allclose(np.asarray(pd), np.asarray(rd), rtol=2e-3, atol=2e-4)
 
 
 def test_topk_twophase_small_store(rng):
@@ -105,3 +165,21 @@ def test_topk_twophase_int8_store(rng):
     pi, ri = np.asarray(pi), np.asarray(ri)
     recall = np.mean([len(set(a) & set(b)) / 10 for a, b in zip(pi.tolist(), ri.tolist())])
     assert recall >= 0.95, recall
+
+
+@pytest.mark.parametrize("metric", ["l2", "ip"])
+def test_topk_twophase_int8_fused_matches_unfused(rng, metric):
+    # both paths score the same quantized values, so they must agree
+    # exactly (up to tie order) — not just to recall tolerance
+    from image_search_engine_tpu.ops.topk_pallas import quantize_store_int8, topk_twophase
+
+    xv = rng.standard_normal((1200, 48)).astype(np.float32)
+    qv = rng.standard_normal((16, 48)).astype(np.float32)
+    codes, scale = quantize_store_int8(xv)
+    fd, fi = topk_twophase(qv, codes, 10, metric, x_scale=scale, tile_n=256,
+                           fused_rescore=True)
+    ud, ui = topk_twophase(qv, codes, 10, metric, x_scale=scale, tile_n=256,
+                           fused_rescore=False)
+    np.testing.assert_array_equal(np.sort(np.asarray(fi), 1), np.sort(np.asarray(ui), 1))
+    np.testing.assert_allclose(np.sort(np.asarray(fd), 1), np.sort(np.asarray(ud), 1),
+                               rtol=1e-4, atol=1e-4)
