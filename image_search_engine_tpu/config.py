@@ -70,6 +70,10 @@ class Config:
     dnn_model: DnnModel = DnnModel.RESNET
     index_type: IndexType = IndexType.L2
     corner_descriptor: CornerDescriptorKind = CornerDescriptorKind.DAISY
+    store_dtype: str = "f32"  # flat-store precision: f32 | bf16 | int8
+    # (bf16/int8 ~2x/4x search throughput + footprint at ~0.994/~0.978
+    # recall@10 vs f32; see index/flat.py. The engine reads the dtype
+    # back from the saved index, so this is an index-build-time choice.)
 
     # --- image preprocessing ----------------------------------------------
     resize_size: int = 224  # reference config.py:33 RESIZE_SIZE
@@ -169,5 +173,7 @@ class Config:
             kw["dnn_model"] = DnnModel(env["ISE_DNN_MODEL"].lower())
         if "ISE_NUM_CLUSTERS" in env:
             kw["num_clusters"] = int(env["ISE_NUM_CLUSTERS"])
+        if "ISE_STORE_DTYPE" in env:
+            kw["store_dtype"] = env["ISE_STORE_DTYPE"].lower()
         kw.update(overrides)
         return cls(**kw)

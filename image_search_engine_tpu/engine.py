@@ -73,6 +73,7 @@ class QueryEngine:
         self.cfg = cfg
         self.paths = load_paths_csv(cfg.paths_file)
         self.stats = ServingStats()
+        self.index = None  # set by index-backed methods (dnn/bovw)
         self.thumbs = None
         if cfg.thumbnails_path.exists():
             from image_search_engine_tpu.utils.imageio import ThumbnailCache
@@ -117,6 +118,7 @@ class QueryEngine:
                 cfg.dnn_model.value, image_size=cfg.resize_size, batch_size=1
             )
             index = self._load_index(cfg.dnn_index_path, cfg, mesh)
+            self.index = index
             s = cfg.resize_size
 
             if isinstance(index, FlatIndex) and index.mesh is None:
@@ -136,10 +138,11 @@ class QueryEngine:
                 search_metric = "ip" if index.metric in ("ip", "cosine") else index.metric
                 normalize = index.metric == "cosine"
                 store_v, store_n = index.store.vectors, index.store.norms
+                store_s = index.store.scales
                 n_valid = index.store.n
 
                 @_ft.partial(jax.jit, static_argnames=("k",))
-                def fused(params, batch_stats, images, store, norms, k):
+                def fused(params, batch_stats, images, store, norms, scales, k):
                     x = preprocess_for_cnn(images, s)
                     variables = {"params": params}
                     if batch_stats is not None:
@@ -150,13 +153,15 @@ class QueryEngine:
                     return local_topk_with_norms(
                         emb, store, norms, k, search_metric,
                         use_pallas=jax.default_backend() == "tpu",
+                        scales=scales,
                     )
 
                 def batched_search(images: np.ndarray, k: int):
                     k_eff = min(k, n_valid)
                     d, i = fused(
                         embedder.params, embedder.batch_stats,
-                        jnp.asarray(images, jnp.float32), store_v, store_n, k_eff,
+                        jnp.asarray(images, jnp.float32), store_v, store_n,
+                        store_s, k_eff,
                     )
                     d, i = jax.device_get((d, i))  # one host transfer for both
                     d, i = np.array(d), np.array(i)
@@ -224,6 +229,7 @@ class QueryEngine:
                 descriptor = make_descriptor(cfg)
                 s = cfg.resize_size
             index = FlatIndex.load(cfg.bovw_index_path, mesh=mesh)
+            self.index = index
 
             def search(image: np.ndarray, k: int):
                 # match the index-build image size (descriptor grids/keypoint

@@ -13,6 +13,13 @@ Search runs the fused Pallas kernel per shard on TPU (ops/topk_pallas.py)
 or the XLA matmul+top_k path elsewhere, with the cross-shard merge of
 parallel/topk.py when the store is sharded. Serialization is a plain
 ``.npz`` (replacing faiss.write_index/read_index, e.g. engine.py:116,131).
+
+``dtype`` picks the store precision ("f32" | "bf16" | "int8"): the sweep
+is HBM-bandwidth-bound, so bf16/int8 roughly 2x/4x the search throughput
+and cut the footprint the same factor, at recall@10 ~0.994/~0.978 vs the
+f32 corpus (1M x 128 measurements, BENCH_NOTES.md). Search stays exact
+over the store values themselves (norms are store-true; int8 scores ride
+the MXU's native int8 path).
 """
 
 from __future__ import annotations
@@ -35,12 +42,16 @@ class FlatIndex:
 
     metric_kind = "flat"
 
-    def __init__(self, metric: str = "l2", mesh: Optional[Mesh] = None, axis: str = "data"):
+    def __init__(self, metric: str = "l2", mesh: Optional[Mesh] = None,
+                 axis: str = "data", dtype: str = "f32"):
         if metric not in ("l2", "ip", "cosine", "chi2"):
             raise ValueError(f"unsupported metric {metric!r}")
+        if metric == "chi2" and dtype != "f32":
+            raise ValueError("chi2 searches f32 stores only")
         self.metric = metric
         self.mesh = mesh
         self.axis = axis
+        self.dtype = dtype
         self.store: Optional[VectorStore] = None
 
     # -- Faiss-like surface -------------------------------------------------
@@ -61,7 +72,8 @@ class FlatIndex:
             x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
         if self.store is not None:
             x = np.concatenate([self.store.to_host(), x])
-        self.store = VectorStore.build(x, mesh=self.mesh, axis=self.axis)
+        self.store = VectorStore.build(x, mesh=self.mesh, axis=self.axis,
+                                       dtype=self.dtype)
         return self
 
     def search(
@@ -92,6 +104,7 @@ class FlatIndex:
                 self.mesh,
                 self.axis,
                 use_pallas=use_pallas,
+                scales_sharded=self.store.scales,
             )
         else:
             if use_pallas is None:
@@ -99,7 +112,8 @@ class FlatIndex:
             if search_metric == "chi2":
                 use_pallas = False
             d, i = local_topk_with_norms(
-                q, self.store.vectors, self.store.norms, k_eff, search_metric, use_pallas
+                q, self.store.vectors, self.store.norms, k_eff, search_metric,
+                use_pallas, scales=self.store.scales,
             )
         d, i = np.array(d)[:, :k], np.array(i)[:, :k]
         if d.shape[1] < k:  # k > ntotal: pad with Faiss's (-1, worst) tail
@@ -112,20 +126,38 @@ class FlatIndex:
     # -- serialization (replaces faiss.write_index/read_index) ---------------
     def save(self, path: str | Path) -> None:
         assert self.store is not None
-        np.savez_compressed(
-            path,
-            vectors=self.store.to_host(),
+        raw, scales = self.store.to_host_raw()
+        payload = dict(
             metric=np.array(self.metric),
             kind=np.array(self.metric_kind),
+            dtype=np.array(self.dtype),
         )
+        if self.dtype == "bf16":
+            # numpy archives don't speak ml_dtypes: round-trip as uint16 bits
+            payload["vectors"] = raw.view(np.uint16)
+        else:
+            payload["vectors"] = raw
+        if scales is not None:
+            payload["scales"] = scales
+        np.savez_compressed(path, **payload)
 
     @classmethod
     def load(
         cls, path: str | Path, mesh: Optional[Mesh] = None, axis: str = "data"
     ) -> "FlatIndex":
+        import jax.numpy as jnp
+
         z = np.load(path, allow_pickle=False)
-        idx = cls(metric=str(z["metric"]), mesh=mesh, axis=axis)
-        # rows were already normalized at save time for cosine; build the
-        # store directly to avoid double normalization (idempotent anyway)
-        idx.store = VectorStore.build(z["vectors"], mesh=mesh, axis=axis)
+        dtype = str(z["dtype"]) if "dtype" in z else "f32"
+        idx = cls(metric=str(z["metric"]), mesh=mesh, axis=axis, dtype=dtype)
+        # rows were already normalized at save time for cosine; rebuild the
+        # store from f32 values to avoid double normalization (idempotent)
+        # and requantization drift (codes -> dequant -> identical codes,
+        # since the per-row amax row survives dequantization exactly)
+        vec = z["vectors"]
+        if dtype == "bf16":
+            vec = np.asarray(jnp.asarray(vec.view(jnp.bfloat16)), np.float32)
+        elif dtype == "int8":
+            vec = vec.astype(np.float32) * z["scales"][:, None]
+        idx.store = VectorStore.build(vec, mesh=mesh, axis=axis, dtype=dtype)
         return idx

@@ -57,7 +57,7 @@ def build_dnn_index(cfg: Config, paths, mesh=None, use_native: bool = False) -> 
             metric=metric, nlist=cfg.ivf_nlist, nprobe=cfg.ivf_nprobe, mesh=mesh
         ).add(feats)
     else:
-        index = FlatIndex(metric, mesh=mesh).add(feats)
+        index = FlatIndex(metric, mesh=mesh, dtype=cfg.store_dtype).add(feats)
     index.save(cfg.dnn_index_path)
     save_paths_csv([paths[i] for i in kept], cfg.paths_file)
     log.info("DNN index: %d vectors (%d-D) -> %s", len(kept), feats.shape[1], cfg.dnn_index_path)
@@ -101,7 +101,7 @@ def build_bovw_index(cfg: Config, paths, mesh=None, use_native: bool = False) ->
     pipeline.save(cfg.bovw_pipeline_path)
 
     metric = "cosine" if cfg.index_type == IndexType.COSINE else "l2"
-    index = FlatIndex(metric, mesh=mesh).add(hists)
+    index = FlatIndex(metric, mesh=mesh, dtype=cfg.store_dtype).add(hists)
     index.save(cfg.bovw_index_path)
     save_paths_csv([paths[i] for i in kept], cfg.paths_file)
     log.info("BoVW index: %d images, k=%d -> %s", len(kept), n_clusters, cfg.bovw_index_path)
@@ -161,6 +161,9 @@ def parse_args(argv=None):
     ap.add_argument("--cluster-grid-search", action="store_true")
     ap.add_argument("--batch-size", type=int, default=64)
     ap.add_argument("--resize-size", type=int, default=224)
+    ap.add_argument("--store-dtype", choices=["f32", "bf16", "int8"], default="f32",
+                    help="flat-store precision (bf16/int8: ~2x/4x search "
+                         "throughput + footprint, recall ~0.994/~0.978 vs f32)")
     ap.add_argument("--native-loader", action="store_true",
                     help="decode+resize with the C++ loader (native/)")
     ap.add_argument("--no-thumbnails", action="store_true",
@@ -175,7 +178,7 @@ def parse_args(argv=None):
         corner_descriptor=CornerDescriptorKind(a.corner_descriptor),
         num_clusters=a.num_clusters, use_cluster_grid_search=a.cluster_grid_search,
         embed_batch_size=a.batch_size, resize_size=a.resize_size,
-        precompute_thumbnails=not a.no_thumbnails,
+        precompute_thumbnails=not a.no_thumbnails, store_dtype=a.store_dtype,
     ), a.native_loader
 
 

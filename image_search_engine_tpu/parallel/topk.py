@@ -31,16 +31,25 @@ def local_topk_with_norms(
     k: int,
     metric: str,
     use_pallas: bool = False,
+    scales: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Single-shard exact top-k honoring poisoned pad norms.
 
-    Returns distances in the metric's natural sign (l2 ascending,
-    ip descending) and local row indices.
+    ``x`` may be an f32/bf16 store or int8 codes (pass their per-row
+    dequant ``scales``); scoring is exact over the store values either
+    way (norms are store-true, see index/store.py). Returns distances in
+    the metric's natural sign (l2 ascending, ip descending) and local row
+    indices.
     """
     if use_pallas:
         from image_search_engine_tpu.ops.topk_pallas import topk_twophase
 
-        return topk_twophase(q, x, k, metric, x_norms=norms)
+        return topk_twophase(q, x, k, metric, x_norms=norms, x_scale=scales)
+    if x.dtype == jnp.int8:
+        # XLA reference path: dequantize and score in f32
+        x = x.astype(jnp.float32) * scales[:, None]
+    elif x.dtype != jnp.float32:
+        x = x.astype(jnp.float32)
     if metric == "chi2":
         from image_search_engine_tpu.ops.distances import pairwise_chi2
 
@@ -74,6 +83,7 @@ def distributed_topk(
     mesh: Mesh,
     axis: str = "data",
     use_pallas: Optional[bool] = None,
+    scales_sharded: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact k-NN over a row-sharded store.
 
@@ -86,6 +96,8 @@ def distributed_topk(
       metric: "l2" | "ip" (cosine: pre-normalize rows and use "ip").
       mesh: 1-D device mesh.
       use_pallas: fused kernel per shard (default: on TPU only).
+      scales_sharded: (Npad,) per-row dequant scales when the store is
+        int8 codes, sharded like the rows.
     Returns:
       (distances (Q, k), global indices (Q, k)) replicated on all devices.
     """
@@ -101,9 +113,12 @@ def distributed_topk(
     k_local = min(k, rows_per_shard)
     k_final = min(k, n_shards * k_local)
 
-    def shard_fn(qr, x_local, norms_local):
+    def shard_fn(qr, x_local, norms_local, *scale_local):
         base = jax.lax.axis_index(axis) * rows_per_shard
-        d, i = local_topk_with_norms(qr, x_local, norms_local, k_local, metric, use_pallas)
+        d, i = local_topk_with_norms(
+            qr, x_local, norms_local, k_local, metric, use_pallas,
+            scales=scale_local[0] if scale_local else None,
+        )
         i = i + base
         d_all = jax.lax.all_gather(d, axis)  # (S, Q, k_local)
         i_all = jax.lax.all_gather(i, axis)
@@ -114,11 +129,15 @@ def distributed_topk(
         idx = jnp.take_along_axis(i_cat, pos, axis=1)
         return (vals if descending else -vals), idx
 
+    extra = () if scales_sharded is None else (P(axis),)
     f = jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(), P(axis, None), P(axis)),
+        in_specs=(P(), P(axis, None), P(axis)) + extra,
         out_specs=(P(), P()),
         check_vma=False,
     )
-    return f(q, x_sharded, norms_sharded)
+    args = (q, x_sharded, norms_sharded)
+    if scales_sharded is not None:
+        args = args + (scales_sharded,)
+    return f(*args)

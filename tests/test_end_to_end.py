@@ -69,6 +69,22 @@ def test_dnn_index_and_query(corpus_dir, rng):
     assert pred[0][1]  # thumbnail present
 
 
+def test_dnn_index_and_query_bf16_store(corpus_dir):
+    # --store-dtype bf16: the engine reads the precision back from the
+    # saved index; self-query must still return the query image first
+    cfg = _cfg(corpus_dir, method=Method.DNN, dnn_model=DnnModel.RESNET_TINY,
+               index_type=IndexType.L2, store_dtype="bf16")
+    indexer_main(cfg)
+    engine = QueryEngine(cfg)
+    assert engine.index.dtype == "bf16"
+    from image_search_engine_tpu.utils.imageio import load_image
+
+    img = load_image(engine.paths[0])
+    pred = engine.query(img, k=3)
+    assert pred[0][2] == engine.paths[0]
+    assert pred[0][0] < 0.05
+
+
 def test_bovw_index_and_query(corpus_dir):
     cfg = _cfg(corpus_dir, method=Method.BOVW,
                corner_descriptor=CornerDescriptorKind.DAISY,

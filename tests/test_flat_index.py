@@ -95,3 +95,46 @@ def test_k_exceeds_ntotal_pads_with_minus_one(rng):
     assert (i[:, :5] < 5).all() and (i[:, :5] >= 0).all()
     assert (i[:, 5:] == -1).all()
     assert np.isinf(d[:, 5:]).all()
+
+
+@pytest.mark.parametrize("dtype", ["bf16", "int8"])
+@pytest.mark.parametrize("metric", ["l2", "ip", "cosine"])
+def test_flat_index_reduced_precision_store(rng, dtype, metric):
+    x = rng.standard_normal((300, 32)).astype(np.float32)
+    q = rng.standard_normal((6, 32)).astype(np.float32)
+    idx = FlatIndex(metric, dtype=dtype).add(x)
+    d, i = idx.search(q, 10)
+    bd, bi = brute_topk(q, x, 10, metric)
+    i, bi = np.asarray(i), np.asarray(bi)
+    recall = np.mean([len(set(a) & set(b)) / 10 for a, b in zip(i.tolist(), bi.tolist())])
+    assert recall >= 0.9, (dtype, metric, recall)
+    np.testing.assert_allclose(np.sort(d, 1), np.sort(bd, 1), rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("dtype", ["bf16", "int8"])
+def test_flat_index_reduced_precision_sharded(rng, dtype):
+    mesh = make_mesh(8)
+    x = rng.standard_normal((203, 24)).astype(np.float32)
+    q = rng.standard_normal((4, 24)).astype(np.float32)
+    d1, i1 = FlatIndex("l2", dtype=dtype).add(x).search(q, 7)
+    d2, i2 = FlatIndex("l2", mesh=mesh, dtype=dtype).add(x).search(q, 7)
+    assert np.asarray(i2).max() < 203
+    # same store values scored: sharded must equal unsharded exactly
+    np.testing.assert_array_equal(np.sort(i1, 1), np.sort(i2, 1))
+    np.testing.assert_allclose(np.sort(d1, 1), np.sort(d2, 1), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("dtype", ["bf16", "int8"])
+def test_flat_index_reduced_precision_save_load(rng, tmp_path, dtype):
+    x = rng.standard_normal((60, 16)).astype(np.float32)
+    q = rng.standard_normal((3, 16)).astype(np.float32)
+    idx = FlatIndex("l2", dtype=dtype).add(x)
+    p = tmp_path / f"flat_{dtype}.npz"
+    idx.save(p)
+    idx2 = FlatIndex.load(p)
+    assert idx2.dtype == dtype
+    # round-trip is lossless over the store values: identical results
+    d1, i1 = idx.search(q, 5)
+    d2, i2 = idx2.search(q, 5)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(d1, d2, rtol=1e-6, atol=1e-6)
