@@ -85,6 +85,21 @@ def test_dnn_index_and_query_bf16_store(corpus_dir):
     assert pred[0][0] < 0.05
 
 
+def test_dnn_index_and_query_int8_store(corpus_dir):
+    cfg = _cfg(corpus_dir, method=Method.DNN, dnn_model=DnnModel.RESNET_TINY,
+               index_type=IndexType.COSINE, store_dtype="int8")
+    indexer_main(cfg)
+    engine = QueryEngine(cfg)
+    assert engine.index.dtype == "int8"
+    from image_search_engine_tpu.utils.imageio import load_image
+
+    img = load_image(engine.paths[2])
+    pred = engine.query(img, k=4)
+    # cosine, descending: self-similarity ~1 even through int8 rounding
+    assert pred[0][2] == engine.paths[2]
+    assert pred[0][0] > 0.98
+
+
 def test_bovw_index_and_query(corpus_dir):
     cfg = _cfg(corpus_dir, method=Method.BOVW,
                corner_descriptor=CornerDescriptorKind.DAISY,
