@@ -138,3 +138,17 @@ def test_flat_index_reduced_precision_save_load(rng, tmp_path, dtype):
     d2, i2 = idx2.search(q, 5)
     np.testing.assert_array_equal(i1, i2)
     np.testing.assert_allclose(d1, d2, rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("metric", ["l2", "ip"])
+def test_flat_index_sharded_pallas_path(rng, metric):
+    # the real multi-chip serving path: fused Pallas kernel per shard
+    # (interpret mode on the virtual mesh) + all_gather merge
+    mesh = make_mesh(8)
+    x = rng.standard_normal((203, 24)).astype(np.float32)
+    q = rng.standard_normal((4, 24)).astype(np.float32)
+    d1, i1 = FlatIndex(metric).add(x).search(q, 7, use_pallas=True)
+    d2, i2 = FlatIndex(metric, mesh=mesh).add(x).search(q, 7, use_pallas=True)
+    assert np.asarray(i2).max() < 203
+    np.testing.assert_array_equal(np.sort(i1, 1), np.sort(i2, 1))
+    np.testing.assert_allclose(np.sort(d1, 1), np.sort(d2, 1), rtol=1e-4, atol=1e-4)
