@@ -305,8 +305,8 @@ def _fused_rescore_kernel(cand_ref, *refs, qb: int, f32_store: bool):
     ref, so every step DMAs ``qb`` (GROUP, dp) store blocks (plus their
     (GROUP,) norm blocks — 512 B next to the 32 KB vectors) straight into
     VMEM — no (Q, t*GROUP, d) gather buffer in HBM (whose write + re-read
-    was the binding term at large Q: 141k -> 162k QPS at 1M x 128 x
-    Q=2048, benchmarks/gather_kernel_proto.py).
+    was the binding term at large Q: 141k -> 250k QPS at 1M x 128 x
+    Q=2048, benchmarks/fused_production.py).
 
     Scoring mirrors the XLA phase 2 exactly: score-to-minimize =
     norms - 2 q.x, where for l2 ``norms`` are the caller's squared norms
@@ -413,7 +413,7 @@ def topk_twophase(
     gather+einsum phase 2 with a Pallas kernel whose
     block index maps select candidate groups via scalar prefetch — the
     (Q, t*GROUP, d) gather buffer never exists in HBM, which moves the
-    1M x 128 x Q=2048 headline 141k -> ~162k QPS. Both phases read the
+    1M x 128 x Q=2048 headline 141k -> ~250k QPS. Both phases read the
     same ``x_norms`` (norm blocks are gathered next to the vector blocks
     — 512 B vs 32 KB), so pad poisoning and phase-1/phase-2 norm
     consistency hold by construction. ``qb`` is the kernel's query rows
