@@ -71,9 +71,10 @@ class Config:
     index_type: IndexType = IndexType.L2
     corner_descriptor: CornerDescriptorKind = CornerDescriptorKind.DAISY
     store_dtype: str = "f32"  # flat-store precision: f32 | bf16 | int8
-    # (bf16/int8 ~2x/4x search throughput + footprint at ~0.994/~0.978
-    # recall@10 vs f32; see index/flat.py. The engine reads the dtype
-    # back from the saved index, so this is an index-build-time choice.)
+    # (bf16/int8 cut the HBM footprint 2x/4x at ~0.994/~0.978 recall@10
+    # vs f32; throughput is within ~10% across precisions — see
+    # index/flat.py. The engine reads the dtype back from the saved
+    # index, so this is an index-build-time choice.)
 
     # --- image preprocessing ----------------------------------------------
     resize_size: int = 224  # reference config.py:33 RESIZE_SIZE

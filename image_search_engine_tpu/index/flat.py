@@ -14,12 +14,12 @@ or the XLA matmul+top_k path elsewhere, with the cross-shard merge of
 parallel/topk.py when the store is sharded. Serialization is a plain
 ``.npz`` (replacing faiss.write_index/read_index, e.g. engine.py:116,131).
 
-``dtype`` picks the store precision ("f32" | "bf16" | "int8"): the sweep
-is HBM-bandwidth-bound, so bf16/int8 roughly 2x/4x the search throughput
-and cut the footprint the same factor, at recall@10 ~0.994/~0.978 vs the
-f32 corpus (1M x 128 measurements, BENCH_NOTES.md). Search stays exact
-over the store values themselves (norms are store-true; int8 scores ride
-the MXU's native int8 path).
+``dtype`` picks the store precision ("f32" | "bf16" | "int8"): bf16/int8
+cut the HBM footprint 2x/4x at recall@10 ~0.994/~0.978 vs the f32 corpus
+(1M x 128 measurements, BENCH_NOTES.md); batched throughput is
+MXU/dispatch-bound and lands within ~10% across precisions. Search stays
+exact over the store values themselves (norms are store-true; int8
+scores ride the MXU's native int8 path).
 """
 
 from __future__ import annotations
@@ -151,13 +151,14 @@ class FlatIndex:
         dtype = str(z["dtype"]) if "dtype" in z else "f32"
         idx = cls(metric=str(z["metric"]), mesh=mesh, axis=axis, dtype=dtype)
         # rows were already normalized at save time for cosine; rebuild the
-        # store from f32 values to avoid double normalization (idempotent)
-        # and requantization drift (codes -> dequant -> identical codes,
-        # since the per-row amax row survives dequantization exactly)
+        # store from the saved store-dtype values directly (no dequantize/
+        # requantize round-trip, no double normalization)
         vec = z["vectors"]
+        if dtype == "int8":
+            idx.store = VectorStore.from_quantized(vec, z["scales"],
+                                                   mesh=mesh, axis=axis)
+            return idx
         if dtype == "bf16":
-            vec = np.asarray(jnp.asarray(vec.view(jnp.bfloat16)), np.float32)
-        elif dtype == "int8":
-            vec = vec.astype(np.float32) * z["scales"][:, None]
+            vec = vec.view(jnp.bfloat16).astype(np.float32)  # host cast
         idx.store = VectorStore.build(vec, mesh=mesh, axis=axis, dtype=dtype)
         return idx

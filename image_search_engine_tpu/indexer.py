@@ -162,8 +162,9 @@ def parse_args(argv=None):
     ap.add_argument("--batch-size", type=int, default=64)
     ap.add_argument("--resize-size", type=int, default=224)
     ap.add_argument("--store-dtype", choices=["f32", "bf16", "int8"], default="f32",
-                    help="flat-store precision (bf16/int8: ~2x/4x search "
-                         "throughput + footprint, recall ~0.994/~0.978 vs f32)")
+                    help="flat-store precision (bf16/int8: 2x/4x smaller "
+                         "index, recall ~0.994/~0.978 vs f32; throughput "
+                         "within ~10% across precisions)")
     ap.add_argument("--native-loader", action="store_true",
                     help="decode+resize with the C++ loader (native/)")
     ap.add_argument("--no-thumbnails", action="store_true",

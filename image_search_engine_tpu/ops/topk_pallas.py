@@ -447,12 +447,23 @@ def topk_twophase(
     qp = _round_up(qn_rows, 128 if is_int8 else (16 if x.dtype != jnp.float32 else 8))
     if fused_rescore:
         qp = _round_up(qp, qb)  # fused grid steps over qb-row query blocks
-    tile_n = min(tile_n, _round_up(n, GROUP))
+    if _round_up(n, GROUP) <= tile_n:
+        # single tile: phase-1 blocks equal the whole (padded) array, which
+        # Mosaic accepts at any GROUP multiple
+        tile_n = _round_up(n, GROUP)
+    else:
+        # multi-tile: the (tile_n//GROUP, Qp) out block's sublane dim must
+        # be 8-divisible and the 1-D norm input's T(1024) tile must divide
+        # tile_n -> tile_n must be a multiple of 8*GROUP (= 1024). Small
+        # non-conforming tile_n values crash Mosaic lowering on hardware
+        # (they pass in interpret mode, which skips layout checks).
+        tile_n = _round_up(tile_n, 8 * GROUP)
     npad = _round_up(n, tile_n)
     ngroups = npad // GROUP
 
-    # Keep the store's dtype: a bfloat16/int8 store cuts HBM traffic (the
-    # sweep's bound) 2x/4x at equal recall in practice; accumulation is f32.
+    # Keep the store's dtype: a bfloat16/int8 store cuts HBM footprint and
+    # sweep traffic 2x/4x (though at the batched operating point the search
+    # is MXU/dispatch-bound, so throughput is similar); accumulation is f32.
     if is_int8:
         # quantize queries per-row too: the int8 x int8 dot rides the MXU's
         # native int8 path with no in-kernel cast of the streamed tile
@@ -548,9 +559,13 @@ def topk_twophase(
     # bandwidth).
     t = min(k + t_margin, ngroups)
     if fused_rescore:
-        # pad query rows participate (their scores are discarded); their
-        # candidate ids are in-range, so the gathers stay valid
-        _, cand_groups = jax.lax.top_k(-mins[:qp], t)  # (Qp, t)
+        # phase 2 grids over only round_up(Q, qb) query rows — qp's larger
+        # padding (up to 128 rows for int8) is a phase-1 lane constraint,
+        # and each padded row here costs t discarded group-block DMAs.
+        # The pad rows that remain participate (scores discarded); their
+        # candidate ids are in-range, so the gathers stay valid.
+        qp2 = min(qp, _round_up(qn_rows, qb))
+        _, cand_groups = jax.lax.top_k(-mins[:qp2], t)  # (Qp2, t)
         cand_flat = cand_groups.reshape(-1).astype(jnp.int32)
 
         def xn_map(j):
@@ -568,7 +583,7 @@ def topk_twophase(
 
         norms_2d = norms.reshape(ngroups, 1, GROUP)
         out_spec2 = pl.BlockSpec((qb, GROUP), lambda i, jt, cand: (i, jt))
-        out_shape2 = jax.ShapeDtypeStruct((qp, t * GROUP), jnp.float32)
+        out_shape2 = jax.ShapeDtypeStruct((qp2, t * GROUP), jnp.float32)
         cparams2 = pltpu.CompilerParams(
             vmem_limit_bytes=min(
                 int(3.0 * qb * (GROUP * dp * xf.dtype.itemsize + GROUP * 4))
@@ -580,10 +595,10 @@ def topk_twophase(
             scales_2d = scale_pad.reshape(ngroups, 1, GROUP)
             # lane-broadcast query scales: row j of the (qb, 128) block is
             # query (i*qb+j)'s dequant scale in every lane
-            qs_2d = jnp.broadcast_to(qs_pad[:, None], (qp, GROUP))
+            qs_2d = jnp.broadcast_to(qs_pad[:qp2, None], (qp2, GROUP))
             grid_spec = pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
-                grid=(qp // qb, t),
+                grid=(qp2 // qb, t),
                 in_specs=[
                     pl.BlockSpec((qb, dp), lambda i, jt, cand: (i, 0)),
                     pl.BlockSpec((qb, GROUP), lambda i, jt, cand: (i, 0)),
@@ -604,7 +619,7 @@ def topk_twophase(
         else:
             grid_spec = pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
-                grid=(qp // qb, t),
+                grid=(qp2 // qb, t),
                 in_specs=[
                     pl.BlockSpec((qb, dp), lambda i, jt, cand: (i, 0)),
                     *[pl.BlockSpec((GROUP, dp), xn_map(j)) for j in range(qb)],
