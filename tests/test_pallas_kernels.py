@@ -183,3 +183,31 @@ def test_topk_twophase_int8_fused_matches_unfused(rng, metric):
     np.testing.assert_array_equal(np.sort(np.asarray(fi), 1), np.sort(np.asarray(ui), 1))
     np.testing.assert_allclose(np.sort(np.asarray(fd), 1), np.sort(np.asarray(ud), 1),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_quantize_host_device_parity(rng):
+    # store.quantize_rows_int8 (host) and ops.quantize_store_int8 (device)
+    # must stay in lockstep: index artifacts are built by one and scored
+    # by kernels validated against the other
+    from image_search_engine_tpu.index.store import quantize_rows_int8
+    from image_search_engine_tpu.ops.topk_pallas import quantize_store_int8
+
+    x = rng.standard_normal((100, 32)).astype(np.float32)
+    x[7] = 0.0  # zero-row semantics must agree too
+    hc, hs = quantize_rows_int8(x)
+    dc, ds = quantize_store_int8(x)
+    np.testing.assert_array_equal(hc, np.asarray(dc))
+    np.testing.assert_allclose(hs, np.asarray(ds), rtol=1e-7)
+
+
+def test_topk_twophase_multi_tile_small_tile_n(rng):
+    # multi-tile store with a small requested tile_n: the wrapper rounds
+    # tile_n up to the Mosaic-conforming multiple (8*GROUP); results must
+    # still be exact (crash regression was hardware-only, parity isn't)
+    from image_search_engine_tpu.ops.topk_pallas import topk_twophase
+
+    qv = rng.standard_normal((5, 24)).astype(np.float32)
+    xv = rng.standard_normal((2500, 24)).astype(np.float32)
+    pd, pi = topk_twophase(qv, xv, 6, "l2", tile_n=512)
+    rd, ri = D.topk_flat(qv, xv, 6, "l2")
+    np.testing.assert_array_equal(np.sort(np.asarray(pi), 1), np.sort(np.asarray(ri), 1))
