@@ -68,6 +68,9 @@ class Config:
     # --- method selection -------------------------------------------------
     method: Method = Method.DNN
     dnn_model: DnnModel = DnnModel.RESNET
+    torch_weights: "Path | None" = None  # torchvision ResNet .pth to import
+    # (models/torch_import.py: the reference's pretrained resnet50 backbone
+    # carries over — weights convert at startup, forward parity is tested)
     index_type: IndexType = IndexType.L2
     corner_descriptor: CornerDescriptorKind = CornerDescriptorKind.DAISY
     store_dtype: str = "f32"  # flat-store precision: f32 | bf16 | int8
@@ -176,5 +179,7 @@ class Config:
             kw["num_clusters"] = int(env["ISE_NUM_CLUSTERS"])
         if "ISE_STORE_DTYPE" in env:
             kw["store_dtype"] = env["ISE_STORE_DTYPE"].lower()
+        if "ISE_TORCH_WEIGHTS" in env:
+            kw["torch_weights"] = Path(env["ISE_TORCH_WEIGHTS"])
         kw.update(overrides)
         return cls(**kw)

@@ -115,7 +115,8 @@ class QueryEngine:
             # mesh shards the INDEX; single-query embeds can't split over a
             # batch axis (batch=1), so the backbone runs replicated
             embedder = CNNEmbedder(
-                cfg.dnn_model.value, image_size=cfg.resize_size, batch_size=1
+                cfg.dnn_model.value, image_size=cfg.resize_size, batch_size=1,
+                torch_weights=cfg.torch_weights,
             )
             index = self._load_index(cfg.dnn_index_path, cfg, mesh)
             self.index = index
@@ -432,6 +433,9 @@ def parse_args(argv=None) -> Config:
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=5000)
     ap.add_argument("--resize-size", type=int, default=224)
+    ap.add_argument("--torch-weights", type=Path, default=None,
+                    help="torchvision ResNet .pth to import as the backbone "
+                         "(must match the indexer's)")
     ap.add_argument("--micro-batch", action="store_true",
                     help="batch concurrent queries into one device call")
     a = ap.parse_args(argv)
@@ -441,7 +445,7 @@ def parse_args(argv=None) -> Config:
         artifacts_dir=a.artifacts_dir, method=Method(a.method),
         index_type=IndexType(a.index_type), dnn_model=DnnModel(a.dnn_model),
         host=a.host, port=a.port, resize_size=a.resize_size,
-        micro_batch=a.micro_batch,
+        micro_batch=a.micro_batch, torch_weights=a.torch_weights,
     )
 
 

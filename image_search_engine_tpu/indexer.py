@@ -41,6 +41,7 @@ def build_dnn_index(cfg: Config, paths, mesh=None, use_native: bool = False) -> 
     embedder = CNNEmbedder(
         cfg.dnn_model.value, image_size=cfg.resize_size,
         batch_size=cfg.embed_batch_size, mesh=mesh,
+        torch_weights=cfg.torch_weights,
     )
     desc = make_descriptor(cfg, embedder)
     feats, _, kept = describe_dataset(
@@ -161,6 +162,9 @@ def parse_args(argv=None):
     ap.add_argument("--cluster-grid-search", action="store_true")
     ap.add_argument("--batch-size", type=int, default=64)
     ap.add_argument("--resize-size", type=int, default=224)
+    ap.add_argument("--torch-weights", type=Path, default=None,
+                    help="torchvision ResNet .pth checkpoint to import as "
+                         "the backbone (models/torch_import.py)")
     ap.add_argument("--store-dtype", choices=["f32", "bf16", "int8"], default="f32",
                     help="flat-store precision (bf16/int8: 2x/4x smaller "
                          "index, recall ~0.994/~0.978 vs f32; throughput "
@@ -180,6 +184,7 @@ def parse_args(argv=None):
         num_clusters=a.num_clusters, use_cluster_grid_search=a.cluster_grid_search,
         embed_batch_size=a.batch_size, resize_size=a.resize_size,
         precompute_thumbnails=not a.no_thumbnails, store_dtype=a.store_dtype,
+        torch_weights=a.torch_weights,
     ), a.native_loader
 
 

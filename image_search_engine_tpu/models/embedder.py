@@ -50,9 +50,18 @@ class CNNEmbedder:
         seed: int = 0,
         params=None,
         batch_stats=None,
+        torch_weights: Optional[str | Path] = None,
     ):
         if model_name not in MODEL_REGISTRY:
             raise ValueError(f"unknown model {model_name!r}; want {sorted(MODEL_REGISTRY)}")
+        if torch_weights is not None:
+            if params is not None:
+                raise ValueError("pass either params or torch_weights, not both")
+            from image_search_engine_tpu.models.torch_import import (
+                resnet_variables_from_torch,
+            )
+
+            params, batch_stats = resnet_variables_from_torch(torch_weights, model_name)
         ctor, self.dim = MODEL_REGISTRY[model_name]
         self.model_name = model_name
         self.model = ctor(dtype=dtype)

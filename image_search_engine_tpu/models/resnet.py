@@ -36,8 +36,11 @@ class Bottleneck(nn.Module):
         residual = x
         y = conv(self.filters, (1, 1))(x)
         y = nn.relu(norm()(y))
-        # v1.5: stride lives on the 3x3 conv
-        y = conv(self.filters, (3, 3), strides=(self.strides, self.strides))(y)
+        # v1.5: stride lives on the 3x3 conv. Explicit (1,1) padding matches
+        # torchvision exactly; SAME would pad (0,1) at stride 2, which
+        # shifts the sampling grid and breaks imported-weight parity.
+        y = conv(self.filters, (3, 3), strides=(self.strides, self.strides),
+                 padding=[(1, 1), (1, 1)])(y)
         y = nn.relu(norm()(y))
         y = conv(self.filters * 4, (1, 1))(y)
         y = norm(scale_init=nn.initializers.zeros)(y)

@@ -1,0 +1,121 @@
+"""Torch -> Flax weight import for the ResNet backbone.
+
+The reference's DNN path embeds with torchvision
+``resnet50(weights=IMAGENET1K_V2)`` truncated at the flatten node
+(backend/descriptors.py:161-168). This module converts a torchvision
+ResNet state_dict into this framework's Flax ``ResNet`` variables, so a
+user can carry the exact pretrained backbone over:
+
+    python -m image_search_engine_tpu.indexer --method dnn \\
+        --torch-weights resnet50-imagenet.pth ...
+
+Architecture parity is exact: both are ResNet v1.5 (stride on the 3x3),
+with torch's (1,1) padding on the 3x3 convs and -inf-padded max pool, so
+converted weights reproduce torch outputs to float tolerance
+(tests/test_torch_import.py checks forward parity against a minimal torch
+twin — torchvision itself isn't needed, only the state_dict layout).
+
+Layout transforms: conv (O, I, H, W) -> (H, W, I, O); linear (O, I) ->
+(I, O); BatchNorm weight/bias -> scale/bias and running_mean/var ->
+batch_stats.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Dict, Mapping, Sequence, Tuple
+
+import numpy as np
+
+# torchvision stage layouts, keyed by the embedder registry names
+RESNET_STAGES = {
+    "resnet50": (3, 4, 6, 3),
+    "resnet-tiny": (1, 1, 1, 1),
+}
+
+
+def _np(t) -> np.ndarray:
+    """torch tensor / array-like -> float32 numpy (host)."""
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().numpy()
+    return np.asarray(t, np.float32)
+
+
+def _conv(sd: Mapping[str, Any], key: str) -> Dict[str, np.ndarray]:
+    return {"kernel": _np(sd[key + ".weight"]).transpose(2, 3, 1, 0)}
+
+
+def _bn(sd: Mapping[str, Any], key: str) -> Tuple[Dict[str, np.ndarray], Dict[str, np.ndarray]]:
+    params = {"scale": _np(sd[key + ".weight"]), "bias": _np(sd[key + ".bias"])}
+    stats = {"mean": _np(sd[key + ".running_mean"]), "var": _np(sd[key + ".running_var"])}
+    return params, stats
+
+
+def convert_torchvision_resnet(
+    state_dict: Mapping[str, Any],
+    stage_sizes: Sequence[int] = (3, 4, 6, 3),
+    num_classes: int = 0,
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """torchvision ResNet state_dict -> (params, batch_stats) for
+    ``models.resnet.ResNet(stage_sizes=...)``.
+
+    Handles any bottleneck stage layout (conv1/bn1, layer{i}.{j}.conv{1..3}
+    + optional downsample, fc). ``num_classes > 0`` also converts the fc
+    head into the Flax ``Dense_0``.
+    """
+    sd = state_dict
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    params["Conv_0"] = _conv(sd, "conv1")
+    params["BatchNorm_0"], stats["BatchNorm_0"] = _bn(sd, "bn1")
+
+    b = 0
+    for i, n_blocks in enumerate(stage_sizes):
+        for j in range(n_blocks):
+            t = f"layer{i + 1}.{j}"
+            f = f"Bottleneck_{b}"
+            bp: Dict[str, Any] = {}
+            bs: Dict[str, Any] = {}
+            for c in range(3):
+                bp[f"Conv_{c}"] = _conv(sd, f"{t}.conv{c + 1}")
+                bp[f"BatchNorm_{c}"], bs[f"BatchNorm_{c}"] = _bn(sd, f"{t}.bn{c + 1}")
+            if f"{t}.downsample.0.weight" in sd:
+                bp["Conv_3"] = _conv(sd, f"{t}.downsample.0")
+                bp["BatchNorm_3"], bs["BatchNorm_3"] = _bn(sd, f"{t}.downsample.1")
+            params[f] = bp
+            stats[f] = bs
+            b += 1
+
+    if num_classes:
+        params["Dense_0"] = {
+            "kernel": _np(sd["fc.weight"]).T,
+            "bias": _np(sd["fc.bias"]),
+        }
+    return params, stats
+
+
+def load_torch_state_dict(path: str | Path) -> Dict[str, Any]:
+    """Load a .pth/.pt checkpoint on CPU and unwrap common nestings
+    ({'state_dict': ...} / {'model': ...} / bare state_dict)."""
+    import torch
+
+    blob = torch.load(str(path), map_location="cpu", weights_only=True)
+    for key in ("state_dict", "model"):
+        if isinstance(blob, dict) and key in blob and isinstance(blob[key], dict):
+            blob = blob[key]
+    # strip DataParallel-style "module." prefixes
+    return {k[len("module."):] if k.startswith("module.") else k: v
+            for k, v in blob.items()}
+
+
+def resnet_variables_from_torch(
+    path: str | Path, model_name: str = "resnet50"
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Checkpoint file -> (params, batch_stats) for the named backbone."""
+    if model_name not in RESNET_STAGES:
+        raise ValueError(
+            f"torch import supports {sorted(RESNET_STAGES)}, got {model_name!r}"
+        )
+    sd = load_torch_state_dict(path)
+    return convert_torchvision_resnet(sd, RESNET_STAGES[model_name])

@@ -1,0 +1,144 @@
+"""Torch -> Flax weight import: forward parity against a minimal torch
+ResNet twin (torchvision state_dict layout, no torchvision dependency)."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as tnn  # noqa: E402
+
+from image_search_engine_tpu.models.resnet import ResNet  # noqa: E402
+from image_search_engine_tpu.models.torch_import import (  # noqa: E402
+    convert_torchvision_resnet,
+)
+
+
+class TorchBottleneck(tnn.Module):
+    """torchvision Bottleneck: names conv1/bn1..conv3/bn3, downsample.{0,1}."""
+
+    def __init__(self, inplanes, planes, stride=1):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(inplanes, planes, 1, bias=False)
+        self.bn1 = tnn.BatchNorm2d(planes)
+        self.conv2 = tnn.Conv2d(planes, planes, 3, stride=stride, padding=1, bias=False)
+        self.bn2 = tnn.BatchNorm2d(planes)
+        self.conv3 = tnn.Conv2d(planes, planes * 4, 1, bias=False)
+        self.bn3 = tnn.BatchNorm2d(planes * 4)
+        self.relu = tnn.ReLU(inplace=True)
+        self.downsample = None
+        if stride != 1 or inplanes != planes * 4:
+            self.downsample = tnn.Sequential(
+                tnn.Conv2d(inplanes, planes * 4, 1, stride=stride, bias=False),
+                tnn.BatchNorm2d(planes * 4),
+            )
+
+    def forward(self, x):
+        identity = x
+        out = self.relu(self.bn1(self.conv1(x)))
+        out = self.relu(self.bn2(self.conv2(out)))
+        out = self.bn3(self.conv3(out))
+        if self.downsample is not None:
+            identity = self.downsample(x)
+        return self.relu(out + identity)
+
+
+class TorchResNet(tnn.Module):
+    """torchvision ResNet skeleton (conv1/bn1/layer{1..4}/avgpool)."""
+
+    def __init__(self, stage_sizes):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+        self.bn1 = tnn.BatchNorm2d(64)
+        self.relu = tnn.ReLU(inplace=True)
+        self.maxpool = tnn.MaxPool2d(kernel_size=3, stride=2, padding=1)
+        inplanes = 64
+        for i, n_blocks in enumerate(stage_sizes):
+            planes = 64 * 2**i
+            blocks = []
+            for j in range(n_blocks):
+                stride = 2 if (i > 0 and j == 0) else 1
+                blocks.append(TorchBottleneck(inplanes, planes, stride))
+                inplanes = planes * 4
+            setattr(self, f"layer{i + 1}", tnn.Sequential(*blocks))
+        self.avgpool = tnn.AdaptiveAvgPool2d(1)
+
+    def forward(self, x):
+        x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+        for i in range(4):
+            if hasattr(self, f"layer{i + 1}"):
+                x = getattr(self, f"layer{i + 1}")(x)
+        return torch.flatten(self.avgpool(x), 1)
+
+
+def test_forward_parity_thin():
+    torch.manual_seed(0)
+    stage_sizes = (1, 1, 1, 1)
+    tm = TorchResNet(stage_sizes)
+    # make running stats non-trivial so eval mode actually uses them
+    tm.train()
+    with torch.no_grad():
+        for _ in range(3):
+            tm(torch.randn(4, 3, 64, 64))
+    tm.eval()
+
+    x = np.random.default_rng(1).standard_normal((2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x)).numpy()
+
+    params, stats = convert_torchvision_resnet(tm.state_dict(), stage_sizes)
+    import jax.numpy as jnp
+
+    fm = ResNet(stage_sizes=stage_sizes)
+    out = fm.apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(x.transpose(0, 2, 3, 1)),  # NCHW -> NHWC
+        train=False,
+    )
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_full_resnet50_tree_shapes():
+    # the real 50-layer mapping: converted tree must match the Flax init
+    # tree exactly in structure and shapes (forward skipped for speed)
+    import jax
+    import jax.numpy as jnp
+
+    stage_sizes = (3, 4, 6, 3)
+    tm = TorchResNet(stage_sizes)
+    params, stats = convert_torchvision_resnet(tm.state_dict(), stage_sizes)
+
+    fm = ResNet(stage_sizes=stage_sizes)
+    variables = jax.eval_shape(
+        lambda: fm.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
+    )
+    want_p = jax.tree.map(lambda a: a.shape, variables["params"])
+    want_s = jax.tree.map(lambda a: a.shape, variables["batch_stats"])
+    got_p = jax.tree.map(lambda a: np.asarray(a).shape, params)
+    got_s = jax.tree.map(lambda a: np.asarray(a).shape, stats)
+    assert got_p == want_p
+    assert got_s == want_s
+
+
+def test_checkpoint_file_roundtrip(tmp_path):
+    from image_search_engine_tpu.models.torch_import import resnet_variables_from_torch
+
+    tm = TorchResNet((1, 1, 1, 1))
+    p = tmp_path / "ckpt.pth"
+    torch.save({"state_dict": tm.state_dict()}, p)
+    params, stats = resnet_variables_from_torch(p, "resnet-tiny")
+    assert "Bottleneck_3" in params and "Conv_0" in params
+
+
+def test_embedder_with_torch_weights(tmp_path):
+    import jax.numpy as jnp
+
+    from image_search_engine_tpu.models.embedder import CNNEmbedder
+
+    tm = TorchResNet((1, 1, 1, 1))
+    p = tmp_path / "backbone.pth"
+    torch.save(tm.state_dict(), p)
+    emb = CNNEmbedder("resnet-tiny", image_size=32, batch_size=2,
+                      dtype=jnp.float32, torch_weights=p)
+    out = emb.embed_batch(np.random.default_rng(0).random((3, 32, 32, 3)).astype(np.float32))
+    assert out.shape == (3, 2048)
+    assert np.isfinite(out).all()
