@@ -57,11 +57,9 @@ class CNNEmbedder:
         if torch_weights is not None:
             if params is not None:
                 raise ValueError("pass either params or torch_weights, not both")
-            from image_search_engine_tpu.models.torch_import import (
-                resnet_variables_from_torch,
-            )
+            from image_search_engine_tpu.models.torch_import import variables_from_torch
 
-            params, batch_stats = resnet_variables_from_torch(torch_weights, model_name)
+            params, batch_stats = variables_from_torch(torch_weights, model_name)
         ctor, self.dim = MODEL_REGISTRY[model_name]
         self.model_name = model_name
         self.model = ctor(dtype=dtype)

@@ -32,6 +32,10 @@ RESNET_STAGES = {
     "resnet50": (3, 4, 6, 3),
     "resnet-tiny": (1, 1, 1, 1),
 }
+DENSENET_BLOCKS = {
+    "densenet121": (6, 12, 24, 16),
+    "densenet-tiny": (2, 2),
+}
 
 
 def _np(t) -> np.ndarray:
@@ -95,6 +99,59 @@ def convert_torchvision_resnet(
     return params, stats
 
 
+def convert_torchvision_densenet(
+    state_dict: Mapping[str, Any],
+    block_sizes: Sequence[int] = (6, 12, 24, 16),
+    num_classes: int = 0,
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """torchvision DenseNet state_dict -> (params, batch_stats) for
+    ``models.densenet.DenseNet(block_sizes=...)``.
+
+    torchvision layout: features.conv0/norm0, denseblock{b}.denselayer{l}
+    (norm1/conv1/norm2/conv2), transition{t} (norm/conv), norm5,
+    classifier. The siamese backbone of the reference is pretrained
+    torchvision densenet121 (backend/siamese/siamese_pt/model.py:9-21).
+    """
+    sd = state_dict
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    params["Conv_0"] = _conv(sd, "features.conv0")
+    params["BatchNorm_0"], stats["BatchNorm_0"] = _bn(sd, "features.norm0")
+
+    dl = 0  # global DenseLayer index (Flax names them across all blocks)
+    for b, n_layers in enumerate(block_sizes):
+        for l in range(n_layers):
+            t = f"features.denseblock{b + 1}.denselayer{l + 1}"
+            f = f"DenseLayer_{dl}"
+            lp: Dict[str, Any] = {}
+            ls: Dict[str, Any] = {}
+            lp["BatchNorm_0"], ls["BatchNorm_0"] = _bn(sd, f"{t}.norm1")
+            lp["Conv_0"] = _conv(sd, f"{t}.conv1")
+            lp["BatchNorm_1"], ls["BatchNorm_1"] = _bn(sd, f"{t}.norm2")
+            lp["Conv_1"] = _conv(sd, f"{t}.conv2")
+            params[f] = lp
+            stats[f] = ls
+            dl += 1
+        if b != len(block_sizes) - 1:
+            t = f"features.transition{b + 1}"
+            f = f"Transition_{b}"
+            tp: Dict[str, Any] = {}
+            ts: Dict[str, Any] = {}
+            tp["BatchNorm_0"], ts["BatchNorm_0"] = _bn(sd, f"{t}.norm")
+            tp["Conv_0"] = _conv(sd, f"{t}.conv")
+            params[f] = tp
+            stats[f] = ts
+
+    params["BatchNorm_1"], stats["BatchNorm_1"] = _bn(sd, "features.norm5")
+    if num_classes:
+        params["Dense_0"] = {
+            "kernel": _np(sd["classifier.weight"]).T,
+            "bias": _np(sd["classifier.bias"]),
+        }
+    return params, stats
+
+
 def load_torch_state_dict(path: str | Path) -> Dict[str, Any]:
     """Load a .pth/.pt checkpoint on CPU and unwrap common nestings
     ({'state_dict': ...} / {'model': ...} / bare state_dict)."""
@@ -109,13 +166,20 @@ def load_torch_state_dict(path: str | Path) -> Dict[str, Any]:
             for k, v in blob.items()}
 
 
-def resnet_variables_from_torch(
+def variables_from_torch(
     path: str | Path, model_name: str = "resnet50"
 ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     """Checkpoint file -> (params, batch_stats) for the named backbone."""
-    if model_name not in RESNET_STAGES:
-        raise ValueError(
-            f"torch import supports {sorted(RESNET_STAGES)}, got {model_name!r}"
-        )
     sd = load_torch_state_dict(path)
-    return convert_torchvision_resnet(sd, RESNET_STAGES[model_name])
+    if model_name in RESNET_STAGES:
+        return convert_torchvision_resnet(sd, RESNET_STAGES[model_name])
+    if model_name in DENSENET_BLOCKS:
+        return convert_torchvision_densenet(sd, DENSENET_BLOCKS[model_name])
+    raise ValueError(
+        f"torch import supports {sorted(RESNET_STAGES) + sorted(DENSENET_BLOCKS)}, "
+        f"got {model_name!r}"
+    )
+
+
+# backwards-compatible alias
+resnet_variables_from_torch = variables_from_torch

@@ -65,6 +65,9 @@ class SiameseConfig:
     log_file: Path = Path("artifacts/siamese_metrics.jsonl")
 
     backbone: str = "densenet121"
+    torch_weights: Optional[Path] = None  # torchvision densenet .pth to
+    # import as the backbone init (the reference trains from pretrained
+    # torchvision densenet121, siamese_pt/model.py:9-21)
     image_size: Tuple[int, int] = (352, 256)  # reference (357, 256), :92
     embedding_dim: int = 128  # :95
     freeze_backbone: bool = True  # :110

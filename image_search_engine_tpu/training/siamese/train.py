@@ -106,6 +106,14 @@ class Trainer:
         )
         self.params = variables["params"]
         self.batch_stats = variables.get("batch_stats", {})
+        if cfg.torch_weights is not None:
+            # graft a pretrained torchvision backbone under the head
+            from image_search_engine_tpu.models.torch_import import variables_from_torch
+
+            bb_p, bb_s = variables_from_torch(cfg.torch_weights, cfg.backbone)
+            name = next(k for k in self.params if k.startswith("DenseNet"))
+            self.params = {**self.params, name: bb_p}
+            self.batch_stats = {**self.batch_stats, name: bb_s}
         self.tx = optax.inject_hyperparams(optax.sgd)(
             learning_rate=cfg.lr, momentum=cfg.momentum
         )
@@ -324,6 +332,9 @@ def main(argv=None) -> None:
                     metavar=("H", "W"))
     ap.add_argument("--embedding-dim", type=int, default=128)
     ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--torch-weights", type=Path, default=None,
+                    help="torchvision densenet .pth to import as the "
+                         "backbone init (models/torch_import.py)")
     ap.add_argument("--unfreeze-backbone", action="store_true",
                     help="train the backbone too (default: head only, like "
                     "the reference's FREEZE_BACKBONE)")
@@ -332,7 +343,7 @@ def main(argv=None) -> None:
         train_dir=a.train_dir, valid_dir=a.valid_dir, ckpt_dir=a.ckpt_dir,
         loss=a.loss, epochs=a.epochs, batch_size=a.batch_size, backbone=a.backbone,
         image_size=tuple(a.image_size), embedding_dim=a.embedding_dim, lr=a.lr,
-        freeze_backbone=not a.unfreeze_backbone,
+        freeze_backbone=not a.unfreeze_backbone, torch_weights=a.torch_weights,
     )
     Trainer(cfg).run()
 

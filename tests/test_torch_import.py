@@ -142,3 +142,125 @@ def test_embedder_with_torch_weights(tmp_path):
     out = emb.embed_batch(np.random.default_rng(0).random((3, 32, 32, 3)).astype(np.float32))
     assert out.shape == (3, 2048)
     assert np.isfinite(out).all()
+
+
+class TorchDenseLayer(tnn.Module):
+    def __init__(self, in_ch, growth):
+        super().__init__()
+        self.norm1 = tnn.BatchNorm2d(in_ch)
+        self.conv1 = tnn.Conv2d(in_ch, 4 * growth, 1, bias=False)
+        self.norm2 = tnn.BatchNorm2d(4 * growth)
+        self.conv2 = tnn.Conv2d(4 * growth, growth, 3, padding=1, bias=False)
+        self.relu = tnn.ReLU(inplace=True)
+
+    def forward(self, x):
+        y = self.conv1(self.relu(self.norm1(x)))
+        y = self.conv2(self.relu(self.norm2(y)))
+        return torch.cat([x, y], 1)
+
+
+class TorchDenseNet(tnn.Module):
+    """torchvision DenseNet skeleton with its state_dict key layout."""
+
+    def __init__(self, block_sizes, growth=32):
+        super().__init__()
+        from collections import OrderedDict
+
+        feats = OrderedDict()
+        feats["conv0"] = tnn.Conv2d(3, 2 * growth, 7, stride=2, padding=3, bias=False)
+        feats["norm0"] = tnn.BatchNorm2d(2 * growth)
+        feats["relu0"] = tnn.ReLU(inplace=True)
+        feats["pool0"] = tnn.MaxPool2d(3, stride=2, padding=1)
+        ch = 2 * growth
+        for b, n_layers in enumerate(block_sizes):
+            block = tnn.Sequential(OrderedDict(
+                (f"denselayer{l + 1}", TorchDenseLayer(ch + l * growth, growth))
+                for l in range(n_layers)))
+            feats[f"denseblock{b + 1}"] = block
+            ch += n_layers * growth
+            if b != len(block_sizes) - 1:
+                trans = tnn.Sequential(OrderedDict([
+                    ("norm", tnn.BatchNorm2d(ch)),
+                    ("relu", tnn.ReLU(inplace=True)),
+                    ("conv", tnn.Conv2d(ch, ch // 2, 1, bias=False)),
+                    ("pool", tnn.AvgPool2d(2, stride=2)),
+                ]))
+                feats[f"transition{b + 1}"] = trans
+                ch //= 2
+        feats["norm5"] = tnn.BatchNorm2d(ch)
+        self.features = tnn.Sequential(feats)
+
+    def forward(self, x):
+        x = torch.relu(self.features(x))
+        return torch.flatten(tnn.functional.adaptive_avg_pool2d(x, 1), 1)
+
+
+def test_densenet_forward_parity_tiny():
+    from image_search_engine_tpu.models.densenet import DenseNet
+    from image_search_engine_tpu.models.torch_import import convert_torchvision_densenet
+
+    torch.manual_seed(0)
+    block_sizes, growth = (2, 2), 8  # DenseNetTiny config
+    tm = TorchDenseNet(block_sizes, growth)
+    tm.train()
+    with torch.no_grad():
+        for _ in range(3):
+            tm(torch.randn(4, 3, 64, 64))
+    tm.eval()
+
+    x = np.random.default_rng(2).standard_normal((2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x)).numpy()
+
+    params, stats = convert_torchvision_densenet(tm.state_dict(), block_sizes)
+    import jax.numpy as jnp
+
+    fm = DenseNet(block_sizes=block_sizes, growth_rate=growth)
+    out = fm.apply({"params": params, "batch_stats": stats},
+                   jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_densenet121_tree_shapes():
+    import jax
+    import jax.numpy as jnp
+
+    from image_search_engine_tpu.models.densenet import DenseNet121
+    from image_search_engine_tpu.models.torch_import import convert_torchvision_densenet
+
+    tm = TorchDenseNet((6, 12, 24, 16), growth=32)
+    params, stats = convert_torchvision_densenet(tm.state_dict(), (6, 12, 24, 16))
+    fm = DenseNet121()
+    variables = jax.eval_shape(
+        lambda: fm.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
+    )
+    assert jax.tree.map(lambda a: np.asarray(a).shape, params) == \
+        jax.tree.map(lambda a: a.shape, variables["params"])
+    assert jax.tree.map(lambda a: np.asarray(a).shape, stats) == \
+        jax.tree.map(lambda a: a.shape, variables["batch_stats"])
+
+
+def test_siamese_trainer_with_torch_backbone(tmp_path):
+    # graft a converted torchvision backbone under the siamese head and
+    # take one forward: must run and differ from the random init
+    import jax
+    import jax.numpy as jnp
+
+    from image_search_engine_tpu.training.siamese.config import SiameseConfig
+    from image_search_engine_tpu.training.siamese.train import Trainer
+
+    tm = TorchDenseNet((2, 2), growth=8)
+    p = tmp_path / "dn.pth"
+    torch.save(tm.state_dict(), p)
+    cfg = SiameseConfig(backbone="densenet-tiny", image_size=(32, 32),
+                        embedding_dim=8, ckpt_dir=tmp_path,
+                        log_file=tmp_path / "m.jsonl", torch_weights=p)
+    tr = Trainer(cfg)
+    name = next(k for k in tr.params if k.startswith("DenseNet"))
+    got = np.asarray(tr.params[name]["Conv_0"]["kernel"])
+    want = tm.state_dict()["features.conv0.weight"].numpy().transpose(2, 3, 1, 0)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    x = jnp.zeros((2, 32, 32, 3), jnp.float32)
+    emb = tr.embed(x) if hasattr(tr, "embed") else None
+    if emb is not None:
+        assert np.isfinite(np.asarray(emb)).all()
