@@ -68,9 +68,9 @@ class Config:
     # --- method selection -------------------------------------------------
     method: Method = Method.DNN
     dnn_model: DnnModel = DnnModel.RESNET
-    torch_weights: "Path | None" = None  # torchvision ResNet .pth to import
-    # (models/torch_import.py: the reference's pretrained resnet50 backbone
-    # carries over — weights convert at startup, forward parity is tested)
+    torch_weights: "Path | None" = None  # torchvision ResNet/DenseNet .pth
+    # to import (models/torch_import.py): the reference's pretrained
+    # backbones carry over — converted at startup, forward parity tested
     index_type: IndexType = IndexType.L2
     corner_descriptor: CornerDescriptorKind = CornerDescriptorKind.DAISY
     store_dtype: str = "f32"  # flat-store precision: f32 | bf16 | int8

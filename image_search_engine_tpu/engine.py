@@ -114,6 +114,7 @@ class QueryEngine:
 
             # mesh shards the INDEX; single-query embeds can't split over a
             # batch axis (batch=1), so the backbone runs replicated
+            self._check_embedder_provenance(cfg)
             embedder = CNNEmbedder(
                 cfg.dnn_model.value, image_size=cfg.resize_size, batch_size=1,
                 torch_weights=cfg.torch_weights,
@@ -261,6 +262,49 @@ class QueryEngine:
             return search
 
         raise ValueError(f"unsupported method {cfg.method}")
+
+    @staticmethod
+    def _check_embedder_provenance(cfg: Config) -> None:
+        """Warn when this process's backbone differs from the one that
+        built the index (embedder.json, written by the indexer): serving
+        would silently return garbage rankings otherwise."""
+        import hashlib
+        import json
+
+        from image_search_engine_tpu.indexer import EMBEDDER_ARCH
+
+        meta_path = cfg.artifacts_dir / "embedder.json"
+        if not meta_path.exists():
+            return
+        try:
+            meta = json.loads(meta_path.read_text())
+        except (OSError, json.JSONDecodeError):
+            return
+        sha = None
+        if cfg.torch_weights is not None:
+            h = hashlib.sha256()
+            with open(cfg.torch_weights, "rb") as f:
+                for chunk in iter(lambda: f.read(1 << 20), b""):
+                    h.update(chunk)
+            sha = h.hexdigest()
+        mismatches = []
+        if meta.get("model") != cfg.dnn_model.value:
+            mismatches.append(f"model {meta.get('model')} vs {cfg.dnn_model.value}")
+        if meta.get("resize_size") != cfg.resize_size:
+            mismatches.append(
+                f"resize_size {meta.get('resize_size')} vs {cfg.resize_size}")
+        if meta.get("arch") != EMBEDDER_ARCH:
+            mismatches.append(
+                f"arch {meta.get('arch')} vs {EMBEDDER_ARCH} (rebuild the index)")
+        if meta.get("torch_weights_sha256") != sha:
+            mismatches.append("torch weights differ from the index build's")
+        if mismatches:
+            log.warning(
+                "embedder mismatch vs index build (%s) — query embeddings "
+                "will not live in the stored index's space; results will be "
+                "unreliable. Rebuild the index or match the flags.",
+                "; ".join(mismatches),
+            )
 
     @staticmethod
     def _load_index(path, cfg: Config, mesh):
@@ -434,8 +478,8 @@ def parse_args(argv=None) -> Config:
     ap.add_argument("--port", type=int, default=5000)
     ap.add_argument("--resize-size", type=int, default=224)
     ap.add_argument("--torch-weights", type=Path, default=None,
-                    help="torchvision ResNet .pth to import as the backbone "
-                         "(must match the indexer's)")
+                    help="torchvision ResNet/DenseNet .pth to import as the "
+                         "backbone (must match the indexer's)")
     ap.add_argument("--micro-batch", action="store_true",
                     help="batch concurrent queries into one device call")
     a = ap.parse_args(argv)

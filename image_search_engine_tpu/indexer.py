@@ -34,6 +34,10 @@ from image_search_engine_tpu.utils.imageio import get_image_paths, save_paths_cs
 
 log = logging.getLogger(__name__)
 
+# bump when backbone geometry changes (e.g. the conv-padding fix): an index
+# built under a different arch tag must be rebuilt, and the engine warns
+EMBEDDER_ARCH = "conv-pad-v2"
+
 
 def build_dnn_index(cfg: Config, paths, mesh=None, use_native: bool = False) -> None:
     from image_search_engine_tpu.models.embedder import CNNEmbedder
@@ -61,7 +65,31 @@ def build_dnn_index(cfg: Config, paths, mesh=None, use_native: bool = False) -> 
         index = FlatIndex(metric, mesh=mesh, dtype=cfg.store_dtype).add(feats)
     index.save(cfg.dnn_index_path)
     save_paths_csv([paths[i] for i in kept], cfg.paths_file)
+    _save_embedder_provenance(cfg)
     log.info("DNN index: %d vectors (%d-D) -> %s", len(kept), feats.shape[1], cfg.dnn_index_path)
+
+
+def _save_embedder_provenance(cfg: Config) -> None:
+    """Record what produced the stored embeddings (embedder.json) so the
+    engine can detect a mismatched backbone at serve time — embeddings
+    from a different weights file or geometry are a silent quality bug,
+    not an error, without this."""
+    import hashlib
+    import json
+
+    sha = None
+    if cfg.torch_weights is not None:
+        h = hashlib.sha256()
+        with open(cfg.torch_weights, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                h.update(chunk)
+        sha = h.hexdigest()
+    (cfg.artifacts_dir / "embedder.json").write_text(json.dumps({
+        "model": cfg.dnn_model.value,
+        "resize_size": cfg.resize_size,
+        "arch": EMBEDDER_ARCH,
+        "torch_weights_sha256": sha,
+    }))
 
 
 def build_bovw_index(cfg: Config, paths, mesh=None, use_native: bool = False) -> None:
@@ -163,8 +191,8 @@ def parse_args(argv=None):
     ap.add_argument("--batch-size", type=int, default=64)
     ap.add_argument("--resize-size", type=int, default=224)
     ap.add_argument("--torch-weights", type=Path, default=None,
-                    help="torchvision ResNet .pth checkpoint to import as "
-                         "the backbone (models/torch_import.py)")
+                    help="torchvision ResNet/DenseNet .pth checkpoint to import "
+                         "as the backbone (models/torch_import.py)")
     ap.add_argument("--store-dtype", choices=["f32", "bf16", "int8"], default="f32",
                     help="flat-store precision (bf16/int8: 2x/4x smaller "
                          "index, recall ~0.994/~0.978 vs f32; throughput "

@@ -55,8 +55,10 @@ class CNNEmbedder:
         if model_name not in MODEL_REGISTRY:
             raise ValueError(f"unknown model {model_name!r}; want {sorted(MODEL_REGISTRY)}")
         if torch_weights is not None:
-            if params is not None:
-                raise ValueError("pass either params or torch_weights, not both")
+            if params is not None or batch_stats is not None:
+                raise ValueError(
+                    "pass either params/batch_stats or torch_weights, not both"
+                )
             from image_search_engine_tpu.models.torch_import import variables_from_torch
 
             params, batch_stats = variables_from_torch(torch_weights, model_name)

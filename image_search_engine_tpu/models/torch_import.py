@@ -45,11 +45,39 @@ def _np(t) -> np.ndarray:
     return np.asarray(t, np.float32)
 
 
-def _conv(sd: Mapping[str, Any], key: str) -> Dict[str, np.ndarray]:
+class _Tracked:
+    """state_dict view that records consumed keys, so converters can
+    reject checkpoints with unconsumed structure (a shape-compatible but
+    deeper model, e.g. resnet101 passed as resnet50, must not silently
+    convert to a franken-backbone)."""
+
+    def __init__(self, sd: Mapping[str, Any]):
+        self.sd = sd
+        self.used: set = set()
+
+    def __getitem__(self, k):
+        self.used.add(k)
+        return self.sd[k]
+
+    def __contains__(self, k):
+        return k in self.sd
+
+    def check_consumed(self, head_keys: Sequence[str]) -> None:
+        ignorable = {k for k in self.sd
+                     if k.endswith("num_batches_tracked") or k in head_keys}
+        leftover = sorted(set(self.sd) - self.used - ignorable)
+        if leftover:
+            raise ValueError(
+                f"checkpoint has {len(leftover)} keys the target architecture "
+                f"does not consume (wrong model variant?): {leftover[:6]}..."
+            )
+
+
+def _conv(sd, key: str) -> Dict[str, np.ndarray]:
     return {"kernel": _np(sd[key + ".weight"]).transpose(2, 3, 1, 0)}
 
 
-def _bn(sd: Mapping[str, Any], key: str) -> Tuple[Dict[str, np.ndarray], Dict[str, np.ndarray]]:
+def _bn(sd, key: str) -> Tuple[Dict[str, np.ndarray], Dict[str, np.ndarray]]:
     params = {"scale": _np(sd[key + ".weight"]), "bias": _np(sd[key + ".bias"])}
     stats = {"mean": _np(sd[key + ".running_mean"]), "var": _np(sd[key + ".running_var"])}
     return params, stats
@@ -67,7 +95,7 @@ def convert_torchvision_resnet(
     + optional downsample, fc). ``num_classes > 0`` also converts the fc
     head into the Flax ``Dense_0``.
     """
-    sd = state_dict
+    sd = _Tracked(state_dict)
     params: Dict[str, Any] = {}
     stats: Dict[str, Any] = {}
 
@@ -96,6 +124,7 @@ def convert_torchvision_resnet(
             "kernel": _np(sd["fc.weight"]).T,
             "bias": _np(sd["fc.bias"]),
         }
+    sd.check_consumed(["fc.weight", "fc.bias"])
     return params, stats
 
 
@@ -112,7 +141,7 @@ def convert_torchvision_densenet(
     classifier. The siamese backbone of the reference is pretrained
     torchvision densenet121 (backend/siamese/siamese_pt/model.py:9-21).
     """
-    sd = state_dict
+    sd = _Tracked(state_dict)
     params: Dict[str, Any] = {}
     stats: Dict[str, Any] = {}
 
@@ -149,6 +178,7 @@ def convert_torchvision_densenet(
             "kernel": _np(sd["classifier.weight"]).T,
             "bias": _np(sd["classifier.bias"]),
         }
+    sd.check_consumed(["classifier.weight", "classifier.bias"])
     return params, stats
 
 
@@ -180,6 +210,3 @@ def variables_from_torch(
         f"got {model_name!r}"
     )
 
-
-# backwards-compatible alias
-resnet_variables_from_torch = variables_from_torch

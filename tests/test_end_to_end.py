@@ -272,3 +272,23 @@ def test_stale_thumbnail_cache_ignored(corpus_dir):
 
     pred = engine.query(load_image(engine.paths[0]), k=2)
     assert pred[0][1]  # thumbnail still present via fallback
+
+
+def test_embedder_provenance_warns_on_mismatch(corpus_dir, caplog):
+    import logging as _logging
+
+    cfg = _cfg(corpus_dir, method=Method.DNN, dnn_model=DnnModel.RESNET_TINY,
+               index_type=IndexType.L2)
+    indexer_main(cfg)
+    assert (cfg.artifacts_dir / "embedder.json").exists()
+    # same config: no warning
+    with caplog.at_level(_logging.WARNING, logger="image_search_engine_tpu.engine"):
+        QueryEngine(cfg, prewarm=False)
+    assert not [r for r in caplog.records if "embedder mismatch" in r.message]
+    caplog.clear()
+    # different resize size: warn
+    cfg2 = _cfg(corpus_dir, method=Method.DNN, dnn_model=DnnModel.RESNET_TINY,
+                index_type=IndexType.L2, resize_size=48)
+    with caplog.at_level(_logging.WARNING, logger="image_search_engine_tpu.engine"):
+        QueryEngine(cfg2, prewarm=False)
+    assert [r for r in caplog.records if "embedder mismatch" in r.message]

@@ -211,3 +211,5 @@ def test_topk_twophase_multi_tile_small_tile_n(rng):
     pd, pi = topk_twophase(qv, xv, 6, "l2", tile_n=512)
     rd, ri = D.topk_flat(qv, xv, 6, "l2")
     np.testing.assert_array_equal(np.sort(np.asarray(pi), 1), np.sort(np.asarray(ri), 1))
+    np.testing.assert_allclose(np.sort(np.asarray(pd), 1), np.sort(np.asarray(rd), 1),
+                               rtol=2e-4, atol=2e-4)

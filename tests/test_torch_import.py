@@ -120,12 +120,12 @@ def test_full_resnet50_tree_shapes():
 
 
 def test_checkpoint_file_roundtrip(tmp_path):
-    from image_search_engine_tpu.models.torch_import import resnet_variables_from_torch
+    from image_search_engine_tpu.models.torch_import import variables_from_torch
 
     tm = TorchResNet((1, 1, 1, 1))
     p = tmp_path / "ckpt.pth"
     torch.save({"state_dict": tm.state_dict()}, p)
-    params, stats = resnet_variables_from_torch(p, "resnet-tiny")
+    params, stats = variables_from_torch(p, "resnet-tiny")
     assert "Bottleneck_3" in params and "Conv_0" in params
 
 
