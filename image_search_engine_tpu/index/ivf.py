@@ -123,7 +123,8 @@ def _ivf_search_kernel(
     vn = packed_norms[probe].reshape(q.shape[0], nprobe * max_list)
 
     qn = jnp.sum(q * q, axis=1, keepdims=True)
-    cross = jnp.einsum("qd,qcd->qc", q, vecs, preferred_element_type=jnp.float32)
+    cross = jnp.einsum("qd,qcd->qc", q.astype(packed.dtype), vecs,
+                       preferred_element_type=jnp.float32)
     dist = qn - 2.0 * cross + vn  # pad slots carry +inf norms
     dist = jnp.where(cand_valid, dist, jnp.inf)
 
@@ -145,9 +146,13 @@ class IVFIndex:
         nprobe: int = 5,
         mesh: Optional[Mesh] = None,
         seed: int = 42,
+        table_dtype: str = "f32",
     ):
         if metric not in ("l2", "cosine"):
             raise ValueError("IVFIndex supports l2/cosine")
+        if table_dtype not in ("f32", "bf16"):
+            raise ValueError("IVF table_dtype must be f32 or bf16")
+        self.table_dtype = table_dtype
         self.metric = metric
         self.nlist = nlist
         self.nprobe = min(nprobe, nlist)
@@ -196,8 +201,17 @@ class IVFIndex:
         are probed adjacently."""
         self.packed = self.vectors[np.maximum(self.lists, 0)]
         self.packed[~self.list_valid] = 0.0
+        if self.table_dtype == "bf16":
+            # halve the probe table (its (nbuckets, cap, d) layout is the
+            # memory hot spot — a 1M build measured 3.4 GB unbalanced);
+            # norms come from the rounded values so the probed scan stays
+            # exact over the stored table
+            import jax.numpy as _jnp
+
+            self.packed = self.packed.astype(_jnp.bfloat16)
+        packed32 = self.packed.astype(np.float32)
         self.packed_norms = np.where(
-            self.list_valid, (self.packed * self.packed).sum(axis=2), np.inf
+            self.list_valid, (packed32 * packed32).sum(axis=2), np.inf
         ).astype(np.float32)
         self.bucket_centroids = self.centroids[self.bucket_cell]
         self._dev = None  # invalidate cached device arrays
@@ -251,13 +265,15 @@ class IVFIndex:
             lists=self.lists, bucket_cell=self.bucket_cell,
             metric=np.array(self.metric),
             nprobe=np.int64(self.nprobe), kind=np.array(self.metric_kind),
+            table_dtype=np.array(self.table_dtype),
         )
 
     @classmethod
     def load(cls, path: str | Path, mesh: Optional[Mesh] = None) -> "IVFIndex":
         z = np.load(path, allow_pickle=False)
         self = cls(metric=str(z["metric"]), nlist=z["centroids"].shape[0],
-                   nprobe=int(z["nprobe"]), mesh=mesh)
+                   nprobe=int(z["nprobe"]), mesh=mesh,
+                   table_dtype=str(z["table_dtype"]) if "table_dtype" in z else "f32")
         self.vectors = z["vectors"]
         self.centroids = z["centroids"]
         self.lists = z["lists"]

@@ -58,8 +58,12 @@ def build_dnn_index(cfg: Config, paths, mesh=None, use_native: bool = False) -> 
     if cfg.index_type in (IndexType.CELL_PROBE, IndexType.IVFPQ):
         from image_search_engine_tpu.index.ivf import IVFIndex
 
+        if cfg.store_dtype == "int8":
+            raise SystemExit("--store-dtype int8 applies to flat indexes only "
+                             "(IVF tables support f32/bf16)")
         index = IVFIndex(
-            metric=metric, nlist=cfg.ivf_nlist, nprobe=cfg.ivf_nprobe, mesh=mesh
+            metric=metric, nlist=cfg.ivf_nlist, nprobe=cfg.ivf_nprobe, mesh=mesh,
+            table_dtype=cfg.store_dtype,
         ).add(feats)
     else:
         index = FlatIndex(metric, mesh=mesh, dtype=cfg.store_dtype).add(feats)

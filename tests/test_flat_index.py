@@ -152,3 +152,17 @@ def test_flat_index_sharded_pallas_path(rng, metric):
     assert np.asarray(i2).max() < 203
     np.testing.assert_array_equal(np.sort(i1, 1), np.sort(i2, 1))
     np.testing.assert_allclose(np.sort(d1, 1), np.sort(d2, 1), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("dtype", ["bf16", "int8"])
+def test_flat_index_sharded_pallas_reduced_precision(rng, dtype):
+    # fused Pallas kernel per shard over a reduced-precision store
+    # (interpret mode): must agree with the unsharded pallas path exactly
+    mesh = make_mesh(8)
+    x = rng.standard_normal((203, 24)).astype(np.float32)
+    q = rng.standard_normal((4, 24)).astype(np.float32)
+    d1, i1 = FlatIndex("l2", dtype=dtype).add(x).search(q, 7, use_pallas=True)
+    d2, i2 = FlatIndex("l2", mesh=mesh, dtype=dtype).add(x).search(q, 7, use_pallas=True)
+    assert np.asarray(i2).max() < 203
+    np.testing.assert_array_equal(np.sort(i1, 1), np.sort(i2, 1))
+    np.testing.assert_allclose(np.sort(d1, 1), np.sort(d2, 1), rtol=1e-4, atol=1e-4)

@@ -168,3 +168,34 @@ def test_skewed_cells_split_into_bounded_buckets(rng):
     _, fi = flat.search(q, 5)
     _, ii = ivf.search(q, 5)
     assert recall_at_k(ii, fi) >= 0.9  # scaled nprobe covers the split cells
+
+
+def test_ivf_bf16_table_matches_f32(rng):
+    from image_search_engine_tpu.index.ivf import IVFIndex
+
+    x = rng.standard_normal((600, 32)).astype(np.float32)
+    q = rng.standard_normal((5, 32)).astype(np.float32)
+    d1, i1 = IVFIndex("l2", nlist=8, nprobe=8).add(x).search(q, 10)
+    d2, i2 = IVFIndex("l2", nlist=8, nprobe=8, table_dtype="bf16").add(x).search(q, 10)
+    # full probe (nprobe == nlist): exhaustive scan, so bf16 rounding is
+    # the only difference — near-identical neighbor sets
+    i1, i2 = np.asarray(i1), np.asarray(i2)
+    recall = np.mean([len(set(a) & set(b)) / 10 for a, b in zip(i1.tolist(), i2.tolist())])
+    assert recall >= 0.9, recall
+    np.testing.assert_allclose(np.sort(d1, 1), np.sort(d2, 1), rtol=2e-2, atol=2e-2)
+
+
+def test_ivf_bf16_save_load_roundtrip(rng, tmp_path):
+    from image_search_engine_tpu.index.ivf import IVFIndex
+
+    x = rng.standard_normal((300, 16)).astype(np.float32)
+    q = rng.standard_normal((3, 16)).astype(np.float32)
+    idx = IVFIndex("cosine", nlist=4, nprobe=4, table_dtype="bf16").add(x)
+    p = tmp_path / "ivf_bf16.npz"
+    idx.save(p)
+    idx2 = IVFIndex.load(p)
+    assert idx2.table_dtype == "bf16"
+    d1, i1 = idx.search(q, 5)
+    d2, i2 = idx2.search(q, 5)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(d1, d2, rtol=1e-5, atol=1e-5)
