@@ -30,6 +30,7 @@ def main() -> None:
     ap.add_argument("--nlist", type=int, default=1024)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--table-dtype", choices=["f32", "bf16"], default="f32")
     args = ap.parse_args()
 
     import jax
@@ -56,7 +57,7 @@ def main() -> None:
     exact_ids = np.asarray(exact_ids)
 
     t0 = time.time()
-    ivf = IVFIndex(nlist=args.nlist, nprobe=8).add(x)
+    ivf = IVFIndex(nlist=args.nlist, nprobe=8, table_dtype=args.table_dtype).add(x)
     build_s = time.time() - t0
 
     # RTT
