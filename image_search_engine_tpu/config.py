@@ -16,6 +16,11 @@ import os
 from pathlib import Path
 
 
+# Flat-store precisions (canonical here so Config.from_env can validate
+# without importing the jax-heavy index modules; index/store.py re-exports).
+STORE_DTYPES = ("f32", "bf16", "int8")
+
+
 class Method(enum.Enum):
     """Indexing method (reference: backend/config.py Method enum)."""
 
@@ -178,7 +183,14 @@ class Config:
         if "ISE_NUM_CLUSTERS" in env:
             kw["num_clusters"] = int(env["ISE_NUM_CLUSTERS"])
         if "ISE_STORE_DTYPE" in env:
-            kw["store_dtype"] = env["ISE_STORE_DTYPE"].lower()
+            # validate here like the CLI's argparse choices do: a typo must
+            # fail at config construction, not after the whole corpus has
+            # been embedded (VectorStore.build is the next consumer)
+            dt = env["ISE_STORE_DTYPE"].lower()
+            if dt not in STORE_DTYPES:
+                raise ValueError(
+                    f"ISE_STORE_DTYPE={dt!r} not in {sorted(STORE_DTYPES)}")
+            kw["store_dtype"] = dt
         if "ISE_TORCH_WEIGHTS" in env:
             kw["torch_weights"] = Path(env["ISE_TORCH_WEIGHTS"])
         kw.update(overrides)

@@ -275,6 +275,17 @@ class QueryEngine:
 
         meta_path = cfg.artifacts_dir / "embedder.json"
         if not meta_path.exists():
+            # pre-provenance index (built before embedder.json existed):
+            # backbone geometry has since changed (EMBEDDER_ARCH), so the
+            # stored embeddings may live in a different space — say so
+            # instead of silently serving degraded rankings
+            log.warning(
+                "no embedder.json in %s — this index predates provenance "
+                "tracking (current arch tag %r); if it was built with an "
+                "older backbone geometry, rankings will be silently "
+                "degraded. Rebuild the index to attach provenance.",
+                cfg.artifacts_dir, EMBEDDER_ARCH,
+            )
             return
         try:
             meta = json.loads(meta_path.read_text())
@@ -282,11 +293,17 @@ class QueryEngine:
             return
         sha = None
         if cfg.torch_weights is not None:
-            h = hashlib.sha256()
-            with open(cfg.torch_weights, "rb") as f:
-                for chunk in iter(lambda: f.read(1 << 20), b""):
-                    h.update(chunk)
-            sha = h.hexdigest()
+            # a bad path falls through to the embedder's own (clearer)
+            # error; hashing a multi-hundred-MB checkpoint per start is an
+            # accepted cost — it is what makes the check trustworthy
+            try:
+                h = hashlib.sha256()
+                with open(cfg.torch_weights, "rb") as f:
+                    for chunk in iter(lambda: f.read(1 << 20), b""):
+                        h.update(chunk)
+                sha = h.hexdigest()
+            except OSError:
+                sha = None
         mismatches = []
         if meta.get("model") != cfg.dnn_model.value:
             mismatches.append(f"model {meta.get('model')} vs {cfg.dnn_model.value}")

@@ -32,10 +32,9 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh
 
+from image_search_engine_tpu.config import STORE_DTYPES
 from image_search_engine_tpu.parallel.mesh import replicate, shard_rows
 from image_search_engine_tpu.parallel.topk import PAD_NORM
-
-STORE_DTYPES = ("f32", "bf16", "int8")
 
 
 def _round_up(x: int, m: int) -> int:

@@ -36,17 +36,28 @@ def local_topk_with_norms(
     """Single-shard exact top-k honoring poisoned pad norms.
 
     ``x`` may be an f32/bf16 store or int8 codes (pass their per-row
-    dequant ``scales``); scoring is exact over the store values either
-    way (norms are store-true, see index/store.py). Returns distances in
-    the metric's natural sign (l2 ascending, ip descending) and local row
-    indices.
+    dequant ``scales``). Scoring is exact over the store values; for int8
+    stores BOTH backends additionally quantize the query per-row (the
+    Pallas kernel scores int8 x int8 on the MXU; this XLA path mirrors
+    that by scoring with the round-tripped query), so the two backends
+    agree on the same index. Returns distances in the metric's natural
+    sign (l2 ascending, ip descending) and local row indices.
     """
     if use_pallas:
         from image_search_engine_tpu.ops.topk_pallas import topk_twophase
 
         return topk_twophase(q, x, k, metric, x_norms=norms, x_scale=scales)
+    q_score = q  # query used in the cross term (may be quantized)
     if x.dtype == jnp.int8:
-        # XLA reference path: dequantize and score in f32
+        # XLA reference path: dequantize the store AND round-trip the
+        # query through the kernel's per-row int8 quantization so both
+        # backends compute identical quantized-query x quantized-store
+        # scores (||q||^2 for l2 stays the true query norm, as in the
+        # kernel's epilogue — it is a per-row constant that never moves
+        # the ranking).
+        q32 = q.astype(jnp.float32)
+        sq = jnp.maximum(jnp.max(jnp.abs(q32), axis=1), 1e-12) / 127.0
+        q_score = jnp.clip(jnp.round(q32 / sq[:, None]), -127, 127) * sq[:, None]
         x = x.astype(jnp.float32) * scales[:, None]
     elif x.dtype != jnp.float32:
         x = x.astype(jnp.float32)
@@ -58,7 +69,7 @@ def local_topk_with_norms(
         s = s + penalty[None, :]
         vals, idx = jax.lax.top_k(-s, k)
         return -vals, idx
-    cross = jnp.dot(q, x.T, preferred_element_type=jnp.float32)
+    cross = jnp.dot(q_score, x.T, preferred_element_type=jnp.float32)
     if metric == "l2":
         qn = jnp.sum(q * q, axis=1, keepdims=True)
         s = norms[None, :] - 2.0 * cross  # pad rows -> +BIG

@@ -185,6 +185,33 @@ def test_topk_twophase_int8_fused_matches_unfused(rng, metric):
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("metric", ["l2", "ip"])
+def test_int8_xla_fallback_matches_pallas(rng, metric):
+    # the XLA fallback must score the same quantized-query x quantized-
+    # store products the Pallas kernel does, so the SAME index returns the
+    # SAME neighbors regardless of backend (ADVICE r1: the old fallback
+    # scored with the unquantized f32 query and could disagree within
+    # quantization error)
+    import jax.numpy as jnp
+
+    from image_search_engine_tpu.ops.topk_pallas import quantize_store_int8
+    from image_search_engine_tpu.parallel.topk import local_topk_with_norms
+
+    xv = rng.standard_normal((1500, 32)).astype(np.float32)
+    qv = rng.standard_normal((12, 32)).astype(np.float32)
+    codes, scale = quantize_store_int8(xv)
+    deq = np.asarray(codes).astype(np.float32) * np.asarray(scale)[:, None]
+    norms = jnp.asarray((deq * deq).sum(axis=1))
+    sc = jnp.asarray(scale)
+    pd, pi = local_topk_with_norms(jnp.asarray(qv), jnp.asarray(codes), norms,
+                                   10, metric, use_pallas=True, scales=sc)
+    xd, xi = local_topk_with_norms(jnp.asarray(qv), jnp.asarray(codes), norms,
+                                   10, metric, use_pallas=False, scales=sc)
+    np.testing.assert_array_equal(np.sort(np.asarray(pi), 1), np.sort(np.asarray(xi), 1))
+    np.testing.assert_allclose(np.sort(np.asarray(pd), 1), np.sort(np.asarray(xd), 1),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_quantize_host_device_parity(rng):
     # store.quantize_rows_int8 (host) and ops.quantize_store_int8 (device)
     # must stay in lockstep: index artifacts are built by one and scored
