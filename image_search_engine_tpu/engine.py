@@ -325,17 +325,33 @@ class QueryEngine:
 
     @staticmethod
     def _load_index(path, cfg: Config, mesh):
-        if cfg.index_type in (IndexType.CELL_PROBE, IndexType.IVFPQ):
-            from image_search_engine_tpu.index.ivf import IVFIndex, IVFPQIndex
+        if cfg.index_type == IndexType.IVFPQ:
+            from image_search_engine_tpu.index.ivf import IVFPQIndex
+            from image_search_engine_tpu.parallel.ivf import ShardedIVFPQ
 
-            cls = IVFPQIndex if cfg.index_type == IndexType.IVFPQ else IVFIndex
-            index = cls.load(path, mesh=mesh)
-            if mesh is not None and index.vectors is not None:
-                # scale out: shard rows + per-shard lists over ICI
+            index = IVFPQIndex.load(path, mesh=mesh)
+            if mesh is not None:
+                # scale out KEEPING the compression: per-shard packed codes
+                # + replicated books (round 1 silently rebuilt a raw-vector
+                # ShardedIVF here — dropping PQ's whole point — or, for a
+                # codes-only artifact, silently ignored the mesh)
+                return ShardedIVFPQ.from_index(index, mesh)
+            return index
+        if cfg.index_type == IndexType.CELL_PROBE:
+            from image_search_engine_tpu.index.ivf import IVFIndex
+
+            index = IVFIndex.load(path, mesh=mesh)
+            if mesh is not None:
                 from image_search_engine_tpu.parallel.ivf import ShardedIVF
 
+                if index.vectors is None:
+                    raise ValueError(
+                        f"cell-probe index {path} holds no raw vectors; "
+                        "cannot shard it over the mesh (rebuild the index)"
+                    )
                 return ShardedIVF.from_components(
-                    index.vectors, index.centroids, index.nprobe, mesh
+                    index.vectors, index.centroids, index.nprobe, mesh,
+                    metric=index.metric,
                 )
             return index
         from image_search_engine_tpu.index.flat import FlatIndex

@@ -259,6 +259,19 @@ class IVFIndex:
             d = np.where(i >= 0, 1.0 - d / 2.0, -np.inf)
         return d, i
 
+    def row_cells(self) -> np.ndarray:
+        """Per-row coarse-cell assignment (N,), reconstructed from the
+        inverted lists — lets a saved artifact reshard (ShardedIVFPQ)
+        without re-running the coarse quantizer or needing raw vectors."""
+        n = self.ntotal
+        rc = np.full(n, -1, np.int32)
+        valid = self.lists >= 0
+        owner = np.repeat(self.bucket_cell, self.lists.shape[1]).reshape(
+            self.lists.shape
+        )
+        rc[self.lists[valid]] = owner[valid]
+        return rc
+
     def save(self, path: str | Path) -> None:
         np.savez_compressed(
             path, vectors=self.vectors, centroids=self.centroids,
@@ -289,7 +302,11 @@ def _ivfpq_search_kernel(
     k: int, nprobe: int, max_list: int, m: int,
 ):
     """ADC scan: LUT of query-residual-to-codeword distances, summed per
-    candidate via one-hot einsum (MXU-friendly LUT lookup).
+    candidate via a ``take_along_axis`` gather over the LUT's codeword
+    axis — memory O(Q * max_list * m). (The round-1 one-hot einsum
+    materialized (Q, max_list, m, 256) f32 — ~21 MB per query per probe
+    at the 1M operating point — so any real query batch OOMed; the MXU
+    win on the lookup never paid for 256x the bytes.)
 
     packed_codes: (nlist, max_list, m) int32 stored list-contiguous (one
     block read per probed cell); pq_books: (m, 256, dsub).
@@ -314,9 +331,11 @@ def _ivfpq_search_kernel(
         cand = lists[probe[:, p]]  # (Q, max_list)
         valid = list_valid[probe[:, p]]
         ccodes = packed_codes[probe[:, p]]  # (Q, max_list, m) block gather
-        one_hot = jax.nn.one_hot(ccodes, 256, dtype=jnp.float32)  # (Q, L, m, 256)
-        dist = jnp.einsum("qlmk,qmk->ql", one_hot, lut,
-                          preferred_element_type=jnp.float32)
+        # dist[q, l] = sum_m lut[q, m, ccodes[q, l, m]]
+        picked = jnp.take_along_axis(
+            lut[:, None], ccodes[..., None], axis=3
+        )  # (Q, L, m, 1)
+        dist = jnp.sum(picked[..., 0], axis=2)
         dist = jnp.where(valid, dist, jnp.inf)
         return dist, cand, valid
 

@@ -56,15 +56,24 @@ def build_dnn_index(cfg: Config, paths, mesh=None, use_native: bool = False) -> 
         cfg.index_type.value
     ]
     if cfg.index_type in (IndexType.CELL_PROBE, IndexType.IVFPQ):
-        from image_search_engine_tpu.index.ivf import IVFIndex
+        from image_search_engine_tpu.index.ivf import IVFIndex, IVFPQIndex
 
         if cfg.store_dtype == "int8":
             raise SystemExit("--store-dtype int8 applies to flat indexes only "
-                             "(IVF tables support f32/bf16)")
-        index = IVFIndex(
-            metric=metric, nlist=cfg.ivf_nlist, nprobe=cfg.ivf_nprobe, mesh=mesh,
-            table_dtype=cfg.store_dtype,
-        ).add(feats)
+                             "(IVF tables support f32/bf16; IVFPQ is already "
+                             "byte-coded)")
+        if cfg.index_type == IndexType.IVFPQ:
+            # the reference's actual "cell-probe" index (utils.py:311-325):
+            # m sub-quantizers x 8 bits over coarse residuals
+            index = IVFPQIndex(
+                metric=metric, nlist=cfg.ivf_nlist, nprobe=cfg.ivf_nprobe,
+                m=cfg.pq_m, mesh=mesh,
+            ).add(feats)
+        else:
+            index = IVFIndex(
+                metric=metric, nlist=cfg.ivf_nlist, nprobe=cfg.ivf_nprobe,
+                mesh=mesh, table_dtype=cfg.store_dtype,
+            ).add(feats)
     else:
         index = FlatIndex(metric, mesh=mesh, dtype=cfg.store_dtype).add(feats)
     index.save(cfg.dnn_index_path)

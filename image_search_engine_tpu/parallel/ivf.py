@@ -1,4 +1,4 @@
-"""ICI-sharded IVF search.
+"""ICI-sharded IVF and IVF-PQ search.
 
 Scales the cell-probe index across the mesh (BASELINE.json config #4/5 at
 multi-chip corpora): rows are block-sharded as in the flat store, each
@@ -10,6 +10,14 @@ buckets, scans the nprobe best locally, and the per-shard
 (k, dist, global-id) results merge over ICI exactly like the flat path.
 Because bucketization is per-shard, results can differ from the unsharded
 index near the probe frontier; recall parity is what's tested.
+
+``ShardedIVFPQ`` is the PQ-preserving variant (the reference's actual
+"cell-probe" index, backend/utils.py:311-325, composed with the BASELINE
+ICI mandate): each shard holds only its rows' PACKED PQ CODES
+((nbuckets, cap, m) bytes-per-row storage, the compression that is PQ's
+whole point) plus the replicated codebooks; the ADC scan and the top-k
+merge run inside one shard_map. Resharding needs no raw vectors — a
+codes-only IVFPQ artifact scales out as-is.
 """
 
 from __future__ import annotations
@@ -33,9 +41,12 @@ class ShardedIVF:
     one shard_map program.
     """
 
-    def __init__(self, mesh: Mesh, axis: str = "data"):
+    def __init__(self, mesh: Mesh, axis: str = "data", metric: str = "l2"):
+        if metric not in ("l2", "cosine"):
+            raise ValueError("ShardedIVF supports l2/cosine")
         self.mesh = mesh
         self.axis = axis
+        self.metric = metric
         self.centroids = None  # (nlist, d) replicated cell centroids
         self.bucket_centroids = None  # (S*nb, d) sharded; pads poisoned far
         self.rows = None  # (S*R, d) row-sharded
@@ -46,6 +57,25 @@ class ShardedIVF:
         self.nbuckets = 0
         self.nprobe = 0
 
+    def _prep_query(self, q: np.ndarray) -> np.ndarray:
+        q = np.atleast_2d(np.asarray(q, np.float32))
+        if self.metric == "cosine":
+            q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+        return q
+
+    def _finish(self, d: np.ndarray, i: np.ndarray, k: int):
+        """Match the unsharded classes' result semantics (index/ivf.py
+        _finish): -1 ids at under-full probes, cosine converted from the
+        L2-over-normalized-rows scan to descending similarity."""
+        i[~np.isfinite(d)] = -1
+        if d.shape[1] < k:
+            d = np.pad(d, ((0, 0), (0, k - d.shape[1])), constant_values=np.inf)
+            i = np.pad(i, ((0, 0), (0, k - i.shape[1])), constant_values=-1)
+        d, i = d[:, :k], i[:, :k]
+        if self.metric == "cosine":
+            d = np.where(i >= 0, 1.0 - d / 2.0, -np.inf)
+        return d, i
+
     @classmethod
     def from_components(
         cls,
@@ -54,11 +84,15 @@ class ShardedIVF:
         nprobe: int,
         mesh: Mesh,
         axis: str = "data",
+        metric: str = "l2",
     ) -> "ShardedIVF":
         from image_search_engine_tpu.ops.kmeans import assign_jax
 
-        self = cls(mesh, axis)
+        self = cls(mesh, axis, metric)
         x = np.asarray(x, np.float32)
+        if metric == "cosine":
+            # idempotent when the unsharded index already normalized rows
+            x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
         n, d = x.shape
         nlist = centroids.shape[0]
         s = mesh.shape[axis]
@@ -112,7 +146,7 @@ class ShardedIVF:
         return self
 
     def search(self, q: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
-        q = jnp.asarray(np.atleast_2d(np.asarray(q, np.float32)))
+        q = jnp.asarray(self._prep_query(q))
         nprobe = self.nprobe
         r = self.rows_per_shard
         max_l = self.lists.shape[1]
@@ -156,9 +190,170 @@ class ShardedIVF:
             check_vma=False,
         )
         d, i = f(q, self.bucket_centroids, self.rows, self.lists)
-        d, i = np.array(d), np.array(i)
-        i[~np.isfinite(d)] = -1
-        if d.shape[1] < k:
-            d = np.pad(d, ((0, 0), (0, k - d.shape[1])), constant_values=np.inf)
-            i = np.pad(i, ((0, 0), (0, k - i.shape[1])), constant_values=-1)
-        return d[:, :k], i[:, :k]
+        return self._finish(np.array(d), np.array(i), k)
+
+
+class ShardedIVFPQ(ShardedIVF):
+    """PQ-preserving ICI scale-out of ``index.ivf.IVFPQIndex``.
+
+    Shard state per device: (nb, cap) global-id lists, (nb, d) bucket
+    centroids (pads poisoned far), and (nb, cap, m) PACKED CODES — one
+    byte-per-subspace compressed row storage, so an N-row corpus costs
+    ~N*m bytes across the mesh instead of N*d*4. The (m, 256, dsub)
+    codebooks and coarse centroids are replicated (a few hundred KB).
+    Search = rank local buckets -> per-probe residual LUT -> ADC gather
+    over the probed code blocks -> local top-k -> all_gather merge, all
+    one shard_map program.
+    """
+
+    def __init__(self, mesh: Mesh, axis: str = "data", metric: str = "l2"):
+        super().__init__(mesh, axis, metric)
+        self.pq_books = None  # (m, 256, dsub) replicated
+        self.packed_codes = None  # (S*nb, cap, m) sharded on first axis
+        self.m = 0
+
+    @classmethod
+    def from_codes(
+        cls,
+        codes: np.ndarray,
+        row_cell: np.ndarray,
+        centroids: np.ndarray,
+        pq_books: np.ndarray,
+        nprobe: int,
+        mesh: Mesh,
+        axis: str = "data",
+        metric: str = "l2",
+    ) -> "ShardedIVFPQ":
+        """Build from an IVFPQ artifact's components — codes (N, m),
+        per-row coarse-cell assignment (N,), cell centroids (nlist, d) and
+        codebooks (m, 256, dsub). No raw vectors required: this is what
+        lets a compressed (codes-only) artifact scale out compressed.
+        """
+        from image_search_engine_tpu.index.ivf import _build_buckets
+
+        self = cls(mesh, axis, metric)
+        codes = np.ascontiguousarray(codes)
+        row_cell = np.asarray(row_cell)
+        n, m = codes.shape
+        nlist, d = centroids.shape
+        s = mesh.shape[axis]
+        r = _round_up(-(-n // s), 8)  # rows per shard (block partition)
+
+        per_shard = []
+        for si in range(s):
+            lo, hi = si * r, min((si + 1) * r, n)
+            if lo >= n:
+                # more devices than row blocks: an empty shard still needs
+                # one (all-pad) bucket so shapes stay uniform
+                lst = np.full((1, 8), -1, np.int32)
+                b_cell = np.zeros(1, np.int32)
+            else:
+                lst, b_cell = _build_buckets(row_cell[lo:hi], nlist)
+                lst = np.where(lst >= 0, lst + lo, -1).astype(np.int32)
+            per_shard.append((lst, b_cell))
+        cap = max(l.shape[1] for l, _ in per_shard)
+        nb = max(l.shape[0] for l, _ in per_shard)
+        lists = np.full((s, nb, cap), -1, np.int32)
+        bcents = np.full((s, nb, d), 1e15, np.float32)
+        pcodes = np.zeros((s, nb, cap, m), np.int32)
+        for si, (l, b_cell) in enumerate(per_shard):
+            lists[si, : l.shape[0], : l.shape[1]] = l
+            bcents[si, : l.shape[0]] = centroids[b_cell]
+            valid = l >= 0
+            pcodes[si, : l.shape[0], : l.shape[1]][valid] = codes[l[valid]]
+
+        rep = NamedSharding(mesh, P())
+        shard0 = NamedSharding(mesh, P(axis, *([None] * 2)))
+        self.centroids = jax.device_put(jnp.asarray(centroids, jnp.float32), rep)
+        self.pq_books = jax.device_put(jnp.asarray(pq_books, jnp.float32), rep)
+        self.lists = jax.device_put(
+            jnp.asarray(lists.reshape(s * nb, cap)), NamedSharding(mesh, P(axis, None))
+        )
+        self.bucket_centroids = jax.device_put(
+            jnp.asarray(bcents.reshape(s * nb, d)), NamedSharding(mesh, P(axis, None))
+        )
+        self.packed_codes = jax.device_put(
+            jnp.asarray(pcodes.reshape(s * nb, cap, m)), shard0
+        )
+        self.n = n
+        self.m = m
+        self.nlist = nlist
+        self.nbuckets = nb
+        self.nprobe = int(min(nb, max(nprobe, -(-nprobe * nb // nlist))))
+        return self
+
+    @classmethod
+    def from_index(cls, index, mesh: Mesh, axis: str = "data") -> "ShardedIVFPQ":
+        """Reshard a loaded ``IVFPQIndex`` (raw vectors NOT required)."""
+        return cls.from_codes(
+            index.codes, index.row_cells(), index.centroids, index.pq_books,
+            index.nprobe, mesh, axis=axis, metric=index.metric,
+        )
+
+    def search(self, q: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+        q = jnp.asarray(self._prep_query(q))
+        nprobe = self.nprobe
+        cap = self.lists.shape[1]
+        m = self.m
+        d = self.centroids.shape[1]
+        dsub = d // m
+        axis = self.axis
+        k_eff = min(k, max(1, min(self.n, self.mesh.shape[axis] * nprobe * cap)))
+
+        def shard_fn(qr, bcents, lists_local, pcodes_local, books):
+            qn_ = qr.shape[0]
+            # rank local buckets (pads poisoned far away)
+            cn = jnp.sum(bcents * bcents, axis=1)
+            cd = cn[None, :] - 2.0 * jnp.dot(qr, bcents.T,
+                                             preferred_element_type=jnp.float32)
+            _, probe = jax.lax.top_k(-cd, nprobe)  # (Q, nprobe)
+
+            def per_probe(p):
+                b = probe[:, p]
+                cent = bcents[b]  # (Q, d) — the probed bucket's cell centroid
+                resid = (qr - cent).reshape(qn_, m, dsub)
+                lut = (
+                    jnp.sum(resid * resid, axis=2)[:, :, None]
+                    - 2.0 * jnp.einsum("qmd,mkd->qmk", resid, books,
+                                       preferred_element_type=jnp.float32)
+                    + jnp.sum(books * books, axis=2)[None]
+                )  # (Q, m, 256)
+                cand = lists_local[b]  # (Q, cap) global ids
+                valid = cand >= 0
+                ccodes = pcodes_local[b]  # (Q, cap, m) block gather
+                picked = jnp.take_along_axis(
+                    lut[:, None], ccodes[..., None], axis=3
+                )  # (Q, cap, m, 1)
+                dist = jnp.sum(picked[..., 0], axis=2)
+                return jnp.where(valid, dist, jnp.inf), cand
+
+            dists, cands = [], []
+            for p in range(nprobe):
+                dd, cc = per_probe(p)
+                dists.append(dd)
+                cands.append(cc)
+            dist = jnp.concatenate(dists, axis=1)
+            cand = jnp.concatenate(cands, axis=1)
+
+            kk = min(k_eff, nprobe * cap)
+            vals, pos = jax.lax.top_k(-dist, kk)
+            ids = jnp.take_along_axis(cand, pos, axis=1)
+
+            d_all = jax.lax.all_gather(-vals, axis)  # (S, Q, kk)
+            i_all = jax.lax.all_gather(ids, axis)
+            d_cat = jnp.swapaxes(d_all, 0, 1).reshape(qn_, -1)
+            i_cat = jnp.swapaxes(i_all, 0, 1).reshape(qn_, -1)
+            mvals, mpos = jax.lax.top_k(-d_cat, k_eff)
+            mids = jnp.take_along_axis(i_cat, mpos, axis=1)
+            return -mvals, mids
+
+        f = jax.shard_map(
+            shard_fn,
+            mesh=self.mesh,
+            in_specs=(P(), P(axis, None), P(axis, None), P(axis, None, None), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        dd, ii = f(q, self.bucket_centroids, self.lists, self.packed_codes,
+                   self.pq_books)
+        return self._finish(np.array(dd), np.array(ii), k)

@@ -229,6 +229,26 @@ def test_sharded_engine_cell_probe(corpus_dir):
     assert pred[0][0] < 0.05
 
 
+def test_sharded_engine_ivfpq_keeps_compression(corpus_dir):
+    # engine + mesh + ivfpq: serving must go through ShardedIVFPQ (packed
+    # codes on the mesh), NOT a silent raw-vector rebuild (round-1 gap)
+    from image_search_engine_tpu.parallel.ivf import ShardedIVFPQ
+    from image_search_engine_tpu.parallel.mesh import make_mesh
+    from image_search_engine_tpu.utils.imageio import load_image
+
+    mesh = make_mesh(8)
+    cfg = _cfg(corpus_dir, method=Method.DNN, dnn_model=DnnModel.RESNET_TINY,
+               index_type=IndexType.IVFPQ, ivf_nlist=2, ivf_nprobe=2, pq_m=8)
+    indexer_main(cfg)
+    engine = QueryEngine(cfg, mesh=mesh)
+    assert isinstance(engine.index, ShardedIVFPQ)
+
+    img = load_image(engine.paths[0])
+    pred = engine.query(img, k=3)
+    # PQ-quantized distances: self-match should still rank its own group
+    assert len(pred) == 3
+
+
 def test_thumbnail_cache_built_and_served(corpus_dir):
     import base64
     import io
