@@ -143,8 +143,9 @@ class QueryEngine:
                 store_s = index.store.scales
                 n_valid = index.store.n
 
-                @_ft.partial(jax.jit, static_argnames=("k",))
-                def fused(params, batch_stats, images, store, norms, scales, k):
+                @_ft.partial(jax.jit, static_argnames=("k", "t_margin"))
+                def fused(params, batch_stats, images, store, norms, scales, k,
+                          t_margin=None):
                     x = preprocess_for_cnn(images, s)
                     variables = {"params": params}
                     if batch_stats is not None:
@@ -152,20 +153,36 @@ class QueryEngine:
                     emb = model.apply(variables, x, train=False)
                     if normalize:
                         emb = l2_normalize(emb)
+                    # the exactness certificate rides along in the same
+                    # device->host transfer as the results (host-side
+                    # escalation: data-dependent control flow can't live
+                    # inside the jitted program)
                     return local_topk_with_norms(
                         emb, store, norms, k, search_metric,
                         use_pallas=jax.default_backend() == "tpu",
-                        scales=scales,
+                        scales=scales, with_certificate=True,
+                        t_margin=t_margin,
                     )
 
                 def batched_search(images: np.ndarray, k: int):
                     k_eff = min(k, n_valid)
-                    d, i = fused(
+                    out = fused(
                         embedder.params, embedder.batch_stats,
                         jnp.asarray(images, jnp.float32), store_v, store_n,
                         store_s, k_eff,
                     )
-                    d, i = jax.device_get((d, i))  # one host transfer for both
+                    d, i, cert = jax.device_get(out)  # one host transfer
+                    if not np.asarray(cert).all():
+                        log.warning(
+                            "top-k certificate failed for %d queries; "
+                            "re-running at wide margin",
+                            int((~np.asarray(cert)).sum()),
+                        )
+                        d, i, _ = jax.device_get(fused(
+                            embedder.params, embedder.batch_stats,
+                            jnp.asarray(images, jnp.float32), store_v,
+                            store_n, store_s, k_eff, t_margin=32,
+                        ))
                     d, i = np.array(d), np.array(i)
                     if d.shape[1] < k:
                         worst = -np.inf if search_metric == "ip" else np.inf

@@ -84,6 +84,15 @@ class FlatIndex:
         Distances ascending for l2/chi2, descending for ip/cosine —
         matching Faiss. Indices of padding rows never appear; when
         k > ntotal the tail is filled with (-1, +/-inf), Faiss style.
+
+        Exactness is machine-checked per dispatch on the Pallas path:
+        the two-phase kernel emits a runtime certificate (k-th final
+        distance vs the best unscanned group min, ops/topk_pallas.py);
+        on the rare violation the dispatch transparently re-runs at a
+        wide candidate margin. k > 128 falls back to the XLA full-scan
+        path (the fused kernels' candidate machinery is sized for
+        serving-scale k; the fallback is exact for any k, at full
+        (Q, N) scan cost).
         """
         assert self.store is not None, "add() vectors first"
         q = jnp.asarray(q, jnp.float32)
@@ -94,27 +103,41 @@ class FlatIndex:
             q = l2_normalize(q)
             search_metric = "ip"
         k_eff = min(k, self.store.n)
+        if k_eff > 128 and use_pallas is None:
+            use_pallas = False  # fused-kernel k cap; XLA scan handles any k
+        WIDE = 32  # escalation margin for certificate violations
         if self.mesh is not None:
-            d, i = distributed_topk(
-                q,
-                self.store.vectors,
-                self.store.norms,
-                k_eff,
-                search_metric,
-                self.mesh,
-                self.axis,
-                use_pallas=use_pallas,
-                scales_sharded=self.store.scales,
+            out = distributed_topk(
+                q, self.store.vectors, self.store.norms, k_eff, search_metric,
+                self.mesh, self.axis, use_pallas=use_pallas,
+                scales_sharded=self.store.scales, with_certificate=True,
             )
+            if not bool(np.asarray(out[2]).all()):
+                out = distributed_topk(
+                    q, self.store.vectors, self.store.norms, k_eff,
+                    search_metric, self.mesh, self.axis, use_pallas=use_pallas,
+                    scales_sharded=self.store.scales, with_certificate=True,
+                    t_margin=WIDE,
+                )
+            d, i = out[0], out[1]
         else:
             if use_pallas is None:
                 use_pallas = jax.default_backend() == "tpu"
             if search_metric == "chi2":
                 use_pallas = False
-            d, i = local_topk_with_norms(
-                q, self.store.vectors, self.store.norms, k_eff, search_metric,
-                use_pallas, scales=self.store.scales,
-            )
+            if use_pallas:
+                from image_search_engine_tpu.ops.topk_pallas import topk_twophase_safe
+
+                d, i = topk_twophase_safe(
+                    q, self.store.vectors, k_eff, search_metric,
+                    x_norms=self.store.norms, x_scale=self.store.scales,
+                    wide_margin=WIDE,
+                )
+            else:
+                d, i = local_topk_with_norms(
+                    q, self.store.vectors, self.store.norms, k_eff,
+                    search_metric, False, scales=self.store.scales,
+                )
         d, i = np.array(d)[:, :k], np.array(i)[:, :k]
         if d.shape[1] < k:  # k > ntotal: pad with Faiss's (-1, worst) tail
             pad = k - d.shape[1]

@@ -373,7 +373,7 @@ def quantize_store_int8(x) -> Tuple[jnp.ndarray, jnp.ndarray]:
 @functools.partial(
     jax.jit,
     static_argnames=("k", "metric", "tile_n", "t_margin", "interpret",
-                     "fused_rescore", "qb"),
+                     "fused_rescore", "qb", "with_certificate"),
 )
 def topk_twophase(
     q: jnp.ndarray,
@@ -388,7 +388,8 @@ def topk_twophase(
     interpret: Optional[bool] = None,
     fused_rescore: Optional[bool] = None,
     qb: int = 8,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    with_certificate: bool = False,
+) -> Tuple[jnp.ndarray, ...]:
     """Exact k-NN via grouped-min sweep + candidate rescan. Same contract
     as ``topk_flat``/``topk_pallas``. Scales to large query batches: the
     phase-1 Pallas kernel is one matmul + one reduction pass per tile.
@@ -408,6 +409,22 @@ def topk_twophase(
     since the phase-2 candidate gather is the binding term. The default
     keeps the full cushion; tuned callers (bench.py) pass 3 (XLA phase 2)
     or 2 (fused phase 2, validated separately).
+
+    ``with_certificate`` adds a per-query runtime exactness certificate
+    as a third output (bool (Q,)): True when the k-th final rescored
+    score is <= the best UNSCANNED group's phase-1 min — i.e. no pruned
+    group could have held a strictly better neighbor, so the result is
+    a provably valid exact top-k for THIS dispatch (ties broken
+    arbitrarily, as Faiss does). Under exact arithmetic the certificate
+    always holds for any margin >= 0; a False means phase-1/phase-2
+    accumulation-order divergence exceeded the margin for that query —
+    re-run it at a wider margin (``topk_twophase_safe`` automates this).
+    Honesty note: the comparison itself mixes phase-1 (threshold) and
+    phase-2 (k-th score) arithmetic, so a certified result can still
+    differ from true-f32 exact by at most one accumulation-order ulp on
+    a boundary element — the same epsilon class as the bf16 store
+    rounding, and far below the margin-swap errors it detects. Cost:
+    one extra lax.top_k column over the group mins.
 
     ``fused_rescore`` (default on; all store dtypes) replaces the XLA
     gather+einsum phase 2 with a Pallas kernel whose
@@ -558,6 +575,9 @@ def topk_twophase(
     # gather capped throughput at ~26k QPS; block reads ride the streaming
     # bandwidth).
     t = min(k + t_margin, ngroups)
+    # certificate threshold: the best group min NOT selected for rescan
+    # (t+1-th smallest). t == ngroups means everything was scanned.
+    t_sel = t + 1 if (with_certificate and t < ngroups) else t
     if fused_rescore:
         # phase 2 grids over only round_up(Q, qb) query rows — qp's larger
         # padding (up to 128 rows for int8) is a phase-1 lane constraint,
@@ -565,7 +585,13 @@ def topk_twophase(
         # The pad rows that remain participate (scores discarded); their
         # candidate ids are in-range, so the gathers stay valid.
         qp2 = min(qp, _round_up(qn_rows, qb))
-        _, cand_groups = jax.lax.top_k(-mins[:qp2], t)  # (Qp2, t)
+        sel_negvals, cand_ext = jax.lax.top_k(-mins[:qp2], t_sel)
+        cand_groups = cand_ext[:, :t]  # (Qp2, t)
+        if with_certificate:
+            cert_threshold = (
+                -sel_negvals[:qn_rows, t] if t_sel > t
+                else jnp.full((qn_rows,), _POS_INF)
+            )
         cand_flat = cand_groups.reshape(-1).astype(jnp.int32)
 
         def xn_map(j):
@@ -647,13 +673,22 @@ def topk_twophase(
         kk = min(k, t * GROUP)
         vals, pos = jax.lax.top_k(-scores, kk)
         ids = jnp.take_along_axis(flat_ids, pos, axis=1)
+        extra = ()
+        if with_certificate:
+            # k-th final minimize-domain score vs best unscanned group min
+            extra = ((-vals[:, kk - 1]) <= cert_threshold,)
         if metric == "l2":
             qnorm = jnp.sum(q.astype(jnp.float32) * q, axis=1, keepdims=True)
-            return jnp.maximum(-vals + qnorm, 0.0), ids
+            return (jnp.maximum(-vals + qnorm, 0.0), ids) + extra
         # ip: scores are penalty - q.x, so the negated top-k values are q.x
-        return vals, ids
+        return (vals, ids) + extra
 
-    _, cand_groups = jax.lax.top_k(-mins[:qn_rows], t)  # (Q, t)
+    sel_negvals, cand_ext = jax.lax.top_k(-mins[:qn_rows], t_sel)
+    cand_groups = cand_ext[:, :t]  # (Q, t)
+    if with_certificate:
+        cert_threshold = (
+            -sel_negvals[:, t] if t_sel > t else jnp.full((qn_rows,), _POS_INF)
+        )
     offsets = jnp.arange(GROUP, dtype=jnp.int32)
     flat_ids = (cand_groups[..., None] * GROUP + offsets).reshape(qn_rows, t * GROUP)
     vecs = xf.reshape(ngroups, GROUP, dp)[cand_groups]  # (Q, t, GROUP, dp)
@@ -684,10 +719,73 @@ def topk_twophase(
         dist = cn - 2.0 * cross
         vals, pos = jax.lax.top_k(-dist, kk)
         ids = jnp.take_along_axis(flat_ids, pos, axis=1)
+        extra = ()
+        if with_certificate:
+            extra = ((-vals[:, kk - 1]) <= cert_threshold,)
         qnorm = jnp.sum(q.astype(jnp.float32) * q, axis=1, keepdims=True)
-        return jnp.maximum(-vals + qnorm, 0.0), ids
-    # ip: cross is 0.5 q.x (q or its scale pre-halved), so 2x restores it
+        return (jnp.maximum(-vals + qnorm, 0.0), ids) + extra
+    # ip: cross is 0.5 q.x (q or its scale pre-halved), so 2x restores it.
+    # Phase-1 mins live in the minimize domain (penalty - q.x = -score),
+    # so the certificate compares the NEGATED k-th score.
     score = 2.0 * cross - cn
     vals, pos = jax.lax.top_k(score, kk)
     ids = jnp.take_along_axis(flat_ids, pos, axis=1)
-    return vals, ids
+    extra = ()
+    if with_certificate:
+        extra = ((-vals[:, kk - 1]) <= cert_threshold,)
+    return (vals, ids) + extra
+
+
+def topk_twophase_safe(
+    q,
+    x,
+    k: int,
+    metric: str = "l2",
+    *,
+    x_norms: Optional[jnp.ndarray] = None,
+    x_scale: Optional[jnp.ndarray] = None,
+    t_margin: int = 4,
+    wide_margin: int = 32,
+    **kw,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """``topk_twophase`` with the runtime exactness certificate enforced.
+
+    Runs the fast path at ``t_margin`` with ``with_certificate=True``; if
+    any query's certificate fails (phase-1/phase-2 accumulation-order
+    divergence exceeded the margin — empirically 0/40960 queries at the
+    shipped margin, benchmarks/margin_validation.py), the WHOLE dispatch
+    re-runs at ``wide_margin`` (a separate compiled program, built lazily
+    on first violation). This turns the empirically-validated margin into
+    a per-dispatch machine-checked guarantee at ~zero steady-state cost:
+    the certificate itself is one extra top-k column + a compare.
+
+    Host-side by necessity — the escalation is data-dependent control
+    flow. Jit-embedded callers (engine's fused embed+search) thread the
+    certificate out of their program and escalate themselves.
+    """
+    d, i, cert = topk_twophase(
+        q, x, k, metric, x_norms=x_norms, x_scale=x_scale,
+        t_margin=t_margin, with_certificate=True, **kw,
+    )
+    if bool(jnp.all(cert)):
+        return d, i
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "top-k exactness certificate failed for %d/%d queries at margin %d; "
+        "re-running at margin %d",
+        int(jnp.sum(~cert)), cert.shape[0], t_margin, wide_margin,
+    )
+    d, i, cert = topk_twophase(
+        q, x, k, metric, x_norms=x_norms, x_scale=x_scale,
+        t_margin=wide_margin, with_certificate=True, **kw,
+    )
+    if not bool(jnp.all(cert)):
+        # a wide-margin failure means divergence beyond anything measured;
+        # surface it rather than loop (results are still the wide rescan's
+        # best-effort exact top-k)
+        logging.getLogger(__name__).error(
+            "certificate still failing at margin %d (%d queries)",
+            wide_margin, int(jnp.sum(~cert)),
+        )
+    return d, i

@@ -32,7 +32,9 @@ def local_topk_with_norms(
     metric: str,
     use_pallas: bool = False,
     scales: Optional[jnp.ndarray] = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    with_certificate: bool = False,
+    t_margin: Optional[int] = None,
+) -> Tuple[jnp.ndarray, ...]:
     """Single-shard exact top-k honoring poisoned pad norms.
 
     ``x`` may be an f32/bf16 store or int8 codes (pass their per-row
@@ -42,11 +44,18 @@ def local_topk_with_norms(
     that by scoring with the round-tripped query), so the two backends
     agree on the same index. Returns distances in the metric's natural
     sign (l2 ascending, ip descending) and local row indices.
+
+    ``with_certificate`` appends a per-query exactness bool (see
+    ops/topk_pallas.topk_twophase): the Pallas path emits its runtime
+    certificate; the XLA path scans the full store so it is exact by
+    construction (always True).
     """
     if use_pallas:
         from image_search_engine_tpu.ops.topk_pallas import topk_twophase
 
-        return topk_twophase(q, x, k, metric, x_norms=norms, x_scale=scales)
+        mkw = {} if t_margin is None else {"t_margin": t_margin}
+        return topk_twophase(q, x, k, metric, x_norms=norms, x_scale=scales,
+                             with_certificate=with_certificate, **mkw)
     q_score = q  # query used in the cross term (may be quantized)
     if x.dtype == jnp.int8:
         # XLA reference path: dequantize the store AND round-trip the
@@ -61,6 +70,7 @@ def local_topk_with_norms(
         x = x.astype(jnp.float32) * scales[:, None]
     elif x.dtype != jnp.float32:
         x = x.astype(jnp.float32)
+    exact = (jnp.ones((q.shape[0],), bool),) if with_certificate else ()
     if metric == "chi2":
         from image_search_engine_tpu.ops.distances import pairwise_chi2
 
@@ -68,20 +78,20 @@ def local_topk_with_norms(
         penalty = jnp.where(norms >= PAD_NORM / 2, PAD_NORM, 0.0)
         s = s + penalty[None, :]
         vals, idx = jax.lax.top_k(-s, k)
-        return -vals, idx
+        return (-vals, idx) + exact
     cross = jnp.dot(q_score, x.T, preferred_element_type=jnp.float32)
     if metric == "l2":
         qn = jnp.sum(q * q, axis=1, keepdims=True)
         s = norms[None, :] - 2.0 * cross  # pad rows -> +BIG
         vals, idx = jax.lax.top_k(-s, k)
-        return jnp.maximum(-vals + qn, 0.0), idx
+        return (jnp.maximum(-vals + qn, 0.0), idx) + exact
     elif metric == "ip":
         # norms carry real squared norms for valid rows; only the pad
         # poisoning matters for IP scoring.
         penalty = jnp.where(norms >= PAD_NORM / 2, PAD_NORM, 0.0)
         s = cross - penalty[None, :]  # pad rows -> -BIG
         vals, idx = jax.lax.top_k(s, k)
-        return vals, idx
+        return (vals, idx) + exact
     raise ValueError(f"unsupported metric {metric!r} (cosine: normalize first)")
 
 
@@ -95,7 +105,9 @@ def distributed_topk(
     axis: str = "data",
     use_pallas: Optional[bool] = None,
     scales_sharded: Optional[jnp.ndarray] = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    with_certificate: bool = False,
+    t_margin: Optional[int] = None,
+) -> Tuple[jnp.ndarray, ...]:
     """Exact k-NN over a row-sharded store.
 
     Args:
@@ -126,11 +138,12 @@ def distributed_topk(
 
     def shard_fn(qr, x_local, norms_local, *scale_local):
         base = jax.lax.axis_index(axis) * rows_per_shard
-        d, i = local_topk_with_norms(
+        out = local_topk_with_norms(
             qr, x_local, norms_local, k_local, metric, use_pallas,
             scales=scale_local[0] if scale_local else None,
+            with_certificate=with_certificate, t_margin=t_margin,
         )
-        i = i + base
+        d, i = out[0], out[1] + base
         d_all = jax.lax.all_gather(d, axis)  # (S, Q, k_local)
         i_all = jax.lax.all_gather(i, axis)
         d_cat = jnp.swapaxes(d_all, 0, 1).reshape(qr.shape[0], -1)  # (Q, S*k_local)
@@ -138,14 +151,23 @@ def distributed_topk(
         s = d_cat if descending else -d_cat
         vals, pos = jax.lax.top_k(s, k_final)
         idx = jnp.take_along_axis(i_cat, pos, axis=1)
-        return (vals if descending else -vals), idx
+        res = ((vals if descending else -vals), idx)
+        if with_certificate:
+            # the merged result is exact iff EVERY shard's local top-k was
+            # certified (a lost local neighbor can be a lost global one)
+            cert = jnp.min(
+                jax.lax.all_gather(out[2].astype(jnp.int32), axis), axis=0
+            ).astype(bool)
+            res = res + (cert,)
+        return res
 
     extra = () if scales_sharded is None else (P(axis),)
+    out_specs = (P(), P()) + ((P(),) if with_certificate else ())
     f = jax.shard_map(
         shard_fn,
         mesh=mesh,
         in_specs=(P(), P(axis, None), P(axis)) + extra,
-        out_specs=(P(), P()),
+        out_specs=out_specs,
         check_vma=False,
     )
     args = (q, x_sharded, norms_sharded)

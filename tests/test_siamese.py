@@ -90,6 +90,62 @@ def test_augment_batch_shape_range_and_randomness(rng):
     assert not np.allclose(a1, imgs)  # actually changed
 
 
+def test_augment_gating_matches_reference_probabilities():
+    # the reference applies each op with its albumentations p= (0.5/0.3/
+    # 0.1), NOT unconditionally (round-1 gap); gate frequencies over a
+    # large batch must track those probabilities
+    from image_search_engine_tpu.training.siamese.augmentations import (
+        OP_PROBS, sample_gates)
+
+    b = 4000
+    gates = sample_gates(jax.random.PRNGKey(3), b)
+    assert set(gates) == set(OP_PROBS)
+    for name, p in OP_PROBS.items():
+        freq = float(np.asarray(gates[name]).mean())
+        assert abs(freq - p) < 0.04, (name, freq, p)
+
+
+def test_augment_all_gates_off_is_identity(rng, monkeypatch):
+    # an image whose every gate sampled False must pass through untouched
+    import image_search_engine_tpu.training.siamese.augmentations as aug
+
+    imgs = rng.random((64, 16, 16, 3)).astype(np.float32)
+    key = jax.random.PRNGKey(11)
+    gates = aug.sample_gates(key, 64)
+    all_off = ~np.asarray(
+        np.stack([np.asarray(gates[n]) for n in sorted(gates)])
+    ).any(axis=0)
+    if not all_off.any():
+        # with 12 gated ops an all-off image is rare; force the check by
+        # zeroing the probabilities
+        monkeypatch.setattr(
+            aug, "OP_PROBS", {n: 0.0 for n in aug.OP_PROBS})
+        out = np.asarray(aug.augment_batch.__wrapped__(key, jnp_asarray(imgs)))
+        np.testing.assert_allclose(out, imgs, atol=1e-6)
+        return
+    out = np.asarray(aug.augment_batch(key, imgs))
+    np.testing.assert_allclose(out[all_off], imgs[all_off], atol=1e-6)
+
+
+def test_augment_ops_individually_active(rng):
+    # each op, forced on alone, must change the image (guards against a
+    # dead branch behind the gating)
+    import image_search_engine_tpu.training.siamese.augmentations as aug
+
+    imgs = rng.random((8, 32, 32, 3)).astype(np.float32) * 0.8 + 0.1
+    key = jax.random.PRNGKey(5)
+    base = {n: 0.0 for n in aug.OP_PROBS}
+    for name in aug.OP_PROBS:
+        probs = dict(base, **{name: 1.0})
+        try:
+            orig = aug.OP_PROBS
+            aug.OP_PROBS = probs
+            out = np.asarray(aug.augment_batch.__wrapped__(key, jnp.asarray(imgs)))
+        finally:
+            aug.OP_PROBS = orig
+        assert not np.allclose(out, imgs, atol=1e-5), f"{name} is a no-op"
+
+
 # ---------------- checkpoint names --------------------------------------------
 
 
