@@ -412,19 +412,23 @@ def topk_twophase(
 
     ``with_certificate`` adds a per-query runtime exactness certificate
     as a third output (bool (Q,)): True when the k-th final rescored
-    score is <= the best UNSCANNED group's phase-1 min — i.e. no pruned
-    group could have held a strictly better neighbor, so the result is
-    a provably valid exact top-k for THIS dispatch (ties broken
-    arbitrarily, as Faiss does). Under exact arithmetic the certificate
-    always holds for any margin >= 0; a False means phase-1/phase-2
-    accumulation-order divergence exceeded the margin for that query —
-    re-run it at a wider margin (``topk_twophase_safe`` automates this).
-    Honesty note: the comparison itself mixes phase-1 (threshold) and
-    phase-2 (k-th score) arithmetic, so a certified result can still
-    differ from true-f32 exact by at most one accumulation-order ulp on
-    a boundary element — the same epsilon class as the bf16 store
-    rounding, and far below the margin-swap errors it detects. Cost:
-    one extra lax.top_k column over the group mins.
+    score is <= the t-th smallest phase-1 group min. Every UNSCANNED
+    group's min is >= that t-th value (the scan takes the t smallest),
+    so True means no pruned group could have held a strictly better
+    neighbor — a provably valid exact top-k for THIS dispatch (ties
+    broken arbitrarily, as Faiss does). Using the t-th value instead of
+    the true (t+1)-th threshold is sound (it is a lower bound on it)
+    and keeps the candidate-select data flow untouched — the threshold
+    reuses the select's own values output, costing one compare. Under
+    exact arithmetic the certificate holds for any margin >= 2 (at most
+    k groups can tie min <= the k-th distance); a False means phase-1/
+    phase-2 accumulation-order divergence crossed the margin for that
+    query — re-run wider (``topk_twophase_safe`` automates this).
+    Honesty note: the comparison mixes phase-1 (threshold) and phase-2
+    (k-th score) arithmetic, so a certified result can still differ
+    from true-f32 exact by at most one accumulation-order ulp on a
+    boundary element — the same epsilon class as the bf16 store
+    rounding, and far below the margin-swap errors it detects.
 
     ``fused_rescore`` (default on; all store dtypes) replaces the XLA
     gather+einsum phase 2 with a Pallas kernel whose
@@ -575,9 +579,8 @@ def topk_twophase(
     # gather capped throughput at ~26k QPS; block reads ride the streaming
     # bandwidth).
     t = min(k + t_margin, ngroups)
-    # certificate threshold: the best group min NOT selected for rescan
-    # (t+1-th smallest). t == ngroups means everything was scanned.
-    t_sel = t + 1 if (with_certificate and t < ngroups) else t
+    # certificate threshold: the t-th smallest group min lower-bounds every
+    # unscanned group's min. t == ngroups means everything was scanned.
     if fused_rescore:
         # phase 2 grids over only round_up(Q, qb) query rows — qp's larger
         # padding (up to 128 rows for int8) is a phase-1 lane constraint,
@@ -585,12 +588,19 @@ def topk_twophase(
         # The pad rows that remain participate (scores discarded); their
         # candidate ids are in-range, so the gathers stay valid.
         qp2 = min(qp, _round_up(qn_rows, qb))
-        sel_negvals, cand_ext = jax.lax.top_k(-mins[:qp2], t_sel)
-        cand_groups = cand_ext[:, :t]  # (Qp2, t)
+        _, cand_groups = jax.lax.top_k(-mins[:qp2], t)  # (Qp2, t)
         if with_certificate:
+            # threshold = the t-th smallest group min = max over the
+            # selected groups' mins. Computed as a FULL-WIDTH gather +
+            # reduce on purpose: consuming top_k's values output, or any
+            # narrower slice of its indices, breaks XLA TPU's TopkRewriter
+            # (slice-of-slice folds into a second sort user with different
+            # bounds) and degrades the select to a full stable (Q, ngroups)
+            # variadic sort — measured +54% dispatch time at the 1M point.
             cert_threshold = (
-                -sel_negvals[:qn_rows, t] if t_sel > t
-                else jnp.full((qn_rows,), _POS_INF)
+                jnp.max(jnp.take_along_axis(mins[:qp2], cand_groups, axis=1),
+                        axis=1)[:qn_rows]
+                if t < ngroups else jnp.full((qn_rows,), _POS_INF)
             )
         cand_flat = cand_groups.reshape(-1).astype(jnp.int32)
 
@@ -676,18 +686,22 @@ def topk_twophase(
         extra = ()
         if with_certificate:
             # k-th final minimize-domain score vs best unscanned group min
-            extra = ((-vals[:, kk - 1]) <= cert_threshold,)
+            # reduce (not a [kk-1] column slice): a second slice user would
+            # break the final top_k's TopkRewriter too
+            extra = ((-jnp.min(vals, axis=1)) <= cert_threshold,)
         if metric == "l2":
             qnorm = jnp.sum(q.astype(jnp.float32) * q, axis=1, keepdims=True)
             return (jnp.maximum(-vals + qnorm, 0.0), ids) + extra
         # ip: scores are penalty - q.x, so the negated top-k values are q.x
         return (vals, ids) + extra
 
-    sel_negvals, cand_ext = jax.lax.top_k(-mins[:qn_rows], t_sel)
-    cand_groups = cand_ext[:, :t]  # (Q, t)
+    _, cand_groups = jax.lax.top_k(-mins[:qn_rows], t)  # (Q, t)
     if with_certificate:
+        # full-width gather + max — see the fused branch's TopkRewriter note
         cert_threshold = (
-            -sel_negvals[:, t] if t_sel > t else jnp.full((qn_rows,), _POS_INF)
+            jnp.max(jnp.take_along_axis(mins[:qn_rows], cand_groups, axis=1),
+                    axis=1)
+            if t < ngroups else jnp.full((qn_rows,), _POS_INF)
         )
     offsets = jnp.arange(GROUP, dtype=jnp.int32)
     flat_ids = (cand_groups[..., None] * GROUP + offsets).reshape(qn_rows, t * GROUP)
@@ -721,7 +735,9 @@ def topk_twophase(
         ids = jnp.take_along_axis(flat_ids, pos, axis=1)
         extra = ()
         if with_certificate:
-            extra = ((-vals[:, kk - 1]) <= cert_threshold,)
+            # reduce (not a [kk-1] column slice): a second slice user would
+            # break the final top_k's TopkRewriter too
+            extra = ((-jnp.min(vals, axis=1)) <= cert_threshold,)
         qnorm = jnp.sum(q.astype(jnp.float32) * q, axis=1, keepdims=True)
         return (jnp.maximum(-vals + qnorm, 0.0), ids) + extra
     # ip: cross is 0.5 q.x (q or its scale pre-halved), so 2x restores it.
@@ -732,7 +748,9 @@ def topk_twophase(
     ids = jnp.take_along_axis(flat_ids, pos, axis=1)
     extra = ()
     if with_certificate:
-        extra = ((-vals[:, kk - 1]) <= cert_threshold,)
+        # reduce (not a [kk-1] column slice): a second slice user would
+            # break the final top_k's TopkRewriter too
+            extra = ((-jnp.min(vals, axis=1)) <= cert_threshold,)
     return (vals, ids) + extra
 
 
