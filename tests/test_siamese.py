@@ -117,10 +117,10 @@ def test_augment_all_gates_off_is_identity(rng, monkeypatch):
     ).any(axis=0)
     if not all_off.any():
         # with 12 gated ops an all-off image is rare; force the check by
-        # zeroing the probabilities
+        # zeroing the probabilities (un-jitted so the new OP_PROBS applies)
         monkeypatch.setattr(
             aug, "OP_PROBS", {n: 0.0 for n in aug.OP_PROBS})
-        out = np.asarray(aug.augment_batch.__wrapped__(key, jnp_asarray(imgs)))
+        out = np.asarray(aug.augment_batch.__wrapped__(key, jnp.asarray(imgs)))
         np.testing.assert_allclose(out, imgs, atol=1e-6)
         return
     out = np.asarray(aug.augment_batch(key, imgs))
