@@ -143,10 +143,12 @@ class QueryEngine:
                 store_s = index.store.scales
                 n_valid = index.store.n
 
+                norm_name = embedder.norm_name
+
                 @_ft.partial(jax.jit, static_argnames=("k", "t_margin"))
                 def fused(params, batch_stats, images, store, norms, scales, k,
                           t_margin=None):
-                    x = preprocess_for_cnn(images, s)
+                    x = preprocess_for_cnn(images, s, norm=norm_name)
                     variables = {"params": params}
                     if batch_stats is not None:
                         variables["batch_stats"] = batch_stats

@@ -83,3 +83,51 @@ def test_l2_normalize(rng):
     x = rng.standard_normal((10, 5)).astype(np.float32)
     n = np.asarray(D.l2_normalize(x))
     np.testing.assert_allclose(np.linalg.norm(n, axis=1), 1.0, rtol=1e-5)
+
+
+def test_chi2_chunked_matches_dense(rng):
+    # the chunked chi2 scan (N > CHI2_CHUNK never materializes (Q, N, d))
+    # must agree exactly with the dense path
+    import jax.numpy as jnp
+
+    from image_search_engine_tpu.ops.distances import pairwise_chi2
+    from image_search_engine_tpu.parallel.topk import _chi2_topk_chunked
+
+    q = rng.random((5, 32)).astype(np.float32)
+    x = rng.random((1000, 32)).astype(np.float32)
+    penalty = jnp.zeros((1000,))
+    d1, i1 = _chi2_topk_chunked(jnp.asarray(q), jnp.asarray(x), penalty, 7,
+                                chunk=128)
+    s = np.asarray(pairwise_chi2(jnp.asarray(q), jnp.asarray(x)))
+    ref_i = np.argsort(s, axis=1)[:, :7]
+    np.testing.assert_array_equal(np.asarray(i1), ref_i)
+    np.testing.assert_allclose(np.asarray(d1), np.sort(s, axis=1)[:, :7],
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_chi2_chunked_respects_pad_poisoning(rng):
+    import jax.numpy as jnp
+
+    from image_search_engine_tpu.parallel.topk import PAD_NORM, _chi2_topk_chunked
+
+    q = rng.random((3, 16)).astype(np.float32)
+    x = np.zeros((300, 16), np.float32)
+    x[:200] = rng.random((200, 16)).astype(np.float32)
+    penalty = jnp.where(jnp.arange(300) < 200, 0.0, PAD_NORM)
+    d1, i1 = _chi2_topk_chunked(jnp.asarray(q), jnp.asarray(x), penalty, 10,
+                                chunk=64)
+    assert np.asarray(i1).max() < 200
+
+
+def test_flat_chi2_large_store_via_chunks(rng):
+    # FlatIndex("chi2") beyond CHI2_CHUNK rows goes through the scan path
+    from image_search_engine_tpu.index.flat import FlatIndex
+    from image_search_engine_tpu.parallel.topk import CHI2_CHUNK
+
+    n = CHI2_CHUNK + 500
+    x = rng.random((n, 16)).astype(np.float32)
+    q = x[:4] + 0.01
+    idx = FlatIndex("chi2").add(x)
+    d, i = idx.search(q, 5)
+    assert (i[:, 0] == np.arange(4)).all()  # self-ish match first
+    assert np.isfinite(d).all()
