@@ -36,7 +36,9 @@ log = logging.getLogger(__name__)
 
 # bump when backbone geometry changes (e.g. the conv-padding fix): an index
 # built under a different arch tag must be rebuilt, and the engine warns
-EMBEDDER_ARCH = "conv-pad-v2"
+EMBEDDER_ARCH = "conv-pad-v3"  # v3: BiT switched to HF-parity geometry
+# (TF-SAME padding, GN eps 1e-5, WS eps 1e-8) and unit normalization —
+# bit-50/bit-tiny embeddings moved; rebuild BiT indexes
 
 
 def build_dnn_index(cfg: Config, paths, mesh=None, use_native: bool = False) -> None:

@@ -25,14 +25,17 @@ from image_search_engine_tpu.models.densenet import DenseNet121, DenseNetTiny
 from image_search_engine_tpu.models.resnet import ResNet18Thin, ResNet50
 from image_search_engine_tpu.ops.image_ops import preprocess_for_cnn
 
+# name -> (ctor, embedding dim, input normalization). BiT uses HF
+# BitImageProcessor's (x-0.5)/0.5; torchvision backbones use ImageNet
+# stats (reference descriptors.py:153-159 vs :170-172).
 MODEL_REGISTRY = {
-    "resnet50": (ResNet50, 2048),
-    "bit-50": (BiT50, 2048),
-    "densenet121": (DenseNet121, 1024),
+    "resnet50": (ResNet50, 2048, "imagenet"),
+    "bit-50": (BiT50, 2048, "unit"),
+    "densenet121": (DenseNet121, 1024, "imagenet"),
     # tiny variants for tests / smoke runs
-    "resnet-tiny": (ResNet18Thin, 2048),
-    "bit-tiny": (BiTTiny, 512),
-    "densenet-tiny": (DenseNetTiny, 32),
+    "resnet-tiny": (ResNet18Thin, 2048, "imagenet"),
+    "bit-tiny": (BiTTiny, 512, "unit"),
+    "densenet-tiny": (DenseNetTiny, 32, "imagenet"),
 }
 
 
@@ -62,7 +65,7 @@ class CNNEmbedder:
             from image_search_engine_tpu.models.torch_import import variables_from_torch
 
             params, batch_stats = variables_from_torch(torch_weights, model_name)
-        ctor, self.dim = MODEL_REGISTRY[model_name]
+        ctor, self.dim, self.norm_name = MODEL_REGISTRY[model_name]
         self.model_name = model_name
         self.model = ctor(dtype=dtype)
         self.image_size = image_size
@@ -85,7 +88,7 @@ class CNNEmbedder:
 
         @jax.jit
         def _forward(params, batch_stats, images):
-            x = preprocess_for_cnn(images, self.image_size)
+            x = preprocess_for_cnn(images, self.image_size, norm=self.norm_name)
             variables = {"params": params}
             if batch_stats is not None:
                 variables["batch_stats"] = batch_stats

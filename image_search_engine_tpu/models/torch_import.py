@@ -1,10 +1,13 @@
-"""Torch -> Flax weight import for the ResNet backbone.
+"""Torch -> Flax weight import for the CNN backbones.
 
 The reference's DNN path embeds with torchvision
 ``resnet50(weights=IMAGENET1K_V2)`` truncated at the flatten node
-(backend/descriptors.py:161-168). This module converts a torchvision
-ResNet state_dict into this framework's Flax ``ResNet`` variables, so a
-user can carry the exact pretrained backbone over:
+(backend/descriptors.py:161-168) or HuggingFace ``google/bit-50``
+(descriptors.py:170-172); the siamese trainers start from pretrained
+densenet121. This module converts those checkpoints (torchvision
+ResNet/DenseNet state_dicts, HF BitModel state_dicts) into this
+framework's Flax variables, so a user carries the exact pretrained
+backbone over:
 
     python -m image_search_engine_tpu.indexer --method dnn \\
         --torch-weights resnet50-imagenet.pth ...
@@ -35,6 +38,10 @@ RESNET_STAGES = {
 DENSENET_BLOCKS = {
     "densenet121": (6, 12, 24, 16),
     "densenet-tiny": (2, 2),
+}
+BIT_STAGES = {
+    "bit-50": (3, 4, 6, 3),
+    "bit-tiny": (1, 1),
 }
 
 
@@ -182,6 +189,57 @@ def convert_torchvision_densenet(
     return params, stats
 
 
+def _gn(sd, key: str) -> Dict[str, np.ndarray]:
+    return {"scale": _np(sd[key + ".weight"]), "bias": _np(sd[key + ".bias"])}
+
+
+def convert_hf_bit(
+    state_dict: Mapping[str, Any],
+    stage_sizes: Sequence[int] = (3, 4, 6, 3),
+) -> Tuple[Dict[str, Any], None]:
+    """HuggingFace ``BitModel`` (preactivation, e.g. ``google/bit-50``)
+    state_dict -> params for ``models.bit.BiT(stage_sizes=...)``.
+
+    HF layout: embedder.convolution, encoder.stages.{i}.layers.{j} with
+    norm1/conv1/norm2/conv2/norm3/conv3 (+ downsample.conv on each
+    stage's first layer), top-level norm. Raw (unstandardized) kernels
+    transfer directly — both sides standardize at forward time. BiT has
+    no BatchNorm, so batch_stats is None (stateless inference).
+    Accepts both bare BitModel keys and BitForImageClassification's
+    ``bit.``-prefixed ones.
+    """
+    if any(k.startswith("bit.") for k in state_dict):
+        state_dict = {k[len("bit."):]: v for k, v in state_dict.items()
+                      if k.startswith("bit.")}
+    sd = _Tracked(state_dict)
+    params: Dict[str, Any] = {}
+
+    params["StdConv_0"] = _conv(sd, "embedder.convolution")
+
+    b = 0
+    for i, n_blocks in enumerate(stage_sizes):
+        for j in range(n_blocks):
+            t = f"encoder.stages.{i}.layers.{j}"
+            bp: Dict[str, Any] = {}
+            has_down = f"{t}.downsample.conv.weight" in sd
+            c = 0
+            if has_down:
+                bp[f"StdConv_{c}"] = _conv(sd, f"{t}.downsample.conv")
+                c += 1
+            bp["GroupNorm_0"] = _gn(sd, f"{t}.norm1")
+            bp[f"StdConv_{c}"] = _conv(sd, f"{t}.conv1")
+            bp["GroupNorm_1"] = _gn(sd, f"{t}.norm2")
+            bp[f"StdConv_{c + 1}"] = _conv(sd, f"{t}.conv2")
+            bp["GroupNorm_2"] = _gn(sd, f"{t}.norm3")
+            bp[f"StdConv_{c + 2}"] = _conv(sd, f"{t}.conv3")
+            params[f"PreActBottleneck_{b}"] = bp
+            b += 1
+
+    params["GroupNorm_0"] = _gn(sd, "norm")
+    sd.check_consumed(["pooler.weight", "pooler.bias"])
+    return params, None
+
+
 def load_torch_state_dict(path: str | Path) -> Dict[str, Any]:
     """Load a .pth/.pt checkpoint on CPU and unwrap common nestings
     ({'state_dict': ...} / {'model': ...} / bare state_dict)."""
@@ -205,8 +263,11 @@ def variables_from_torch(
         return convert_torchvision_resnet(sd, RESNET_STAGES[model_name])
     if model_name in DENSENET_BLOCKS:
         return convert_torchvision_densenet(sd, DENSENET_BLOCKS[model_name])
+    if model_name in BIT_STAGES:
+        return convert_hf_bit(sd, BIT_STAGES[model_name])
     raise ValueError(
-        f"torch import supports {sorted(RESNET_STAGES) + sorted(DENSENET_BLOCKS)}, "
+        f"torch import supports "
+        f"{sorted(RESNET_STAGES) + sorted(DENSENET_BLOCKS) + sorted(BIT_STAGES)}, "
         f"got {model_name!r}"
     )
 

@@ -45,11 +45,19 @@ def normalize_imagenet(img: jnp.ndarray) -> jnp.ndarray:
     return (img - mean) / std
 
 
-@functools.partial(jax.jit, static_argnames=("size",))
-def preprocess_for_cnn(img: jnp.ndarray, size: int = 224) -> jnp.ndarray:
-    """resize(size) + ImageNet-normalize — the reference's albumentations
-    pipeline (descriptors.py:153-159) as one fused program."""
-    return normalize_imagenet(resize(img, size, size))
+@functools.partial(jax.jit, static_argnames=("size", "norm"))
+def preprocess_for_cnn(img: jnp.ndarray, size: int = 224,
+                       norm: str = "imagenet") -> jnp.ndarray:
+    """resize(size) + normalize as one fused program.
+
+    ``norm="imagenet"`` matches the reference's albumentations pipeline
+    for torchvision backbones (descriptors.py:153-159); ``norm="unit"``
+    is (x - 0.5) / 0.5, HF BitImageProcessor's default for
+    ``google/bit-50`` (reference descriptors.py:170-172)."""
+    x = resize(img, size, size)
+    if norm == "unit":
+        return (x - 0.5) / 0.5
+    return normalize_imagenet(x)
 
 
 @jax.jit

@@ -264,3 +264,103 @@ def test_siamese_trainer_with_torch_backbone(tmp_path):
     emb = tr.embed(x) if hasattr(tr, "embed") else None
     if emb is not None:
         assert np.isfinite(np.asarray(emb)).all()
+
+
+# ---------------------------------------------------------------------------
+# BiT (HF google/bit-50 layout) import
+# ---------------------------------------------------------------------------
+
+
+def _hf_bit_tiny():
+    transformers = pytest.importorskip("transformers")
+    cfg = transformers.BitConfig(
+        num_channels=3, embedding_size=64, hidden_sizes=[256, 512],
+        depths=[1, 1], layer_type="preactivation", global_padding="SAME",
+        num_groups=32, embedding_dynamic_padding=True, hidden_act="relu",
+    )
+    m = transformers.BitModel(cfg)
+    m.eval()
+    return m
+
+
+def test_bit_forward_parity_tiny():
+    """Converted HF BitModel weights must reproduce HF outputs through our
+    Flax BiT — pooled AND the reference's flattened last_hidden_state
+    (backend/descriptors.py:186-189) — including the TF-SAME asymmetric
+    padding on stride-2 convs."""
+    import jax.numpy as jnp
+
+    from image_search_engine_tpu.models.bit import BiT
+    from image_search_engine_tpu.models.torch_import import convert_hf_bit
+
+    tm = _hf_bit_tiny()
+    params, stats = convert_hf_bit(tm.state_dict(), stage_sizes=(1, 1))
+    assert stats is None  # stateless (GroupNorm)
+
+    x = np.random.default_rng(0).random((2, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        out = tm(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    ref_pooled = out.pooler_output.squeeze(-1).squeeze(-1).numpy()
+    ref_flat = out.last_hidden_state.flatten(1).numpy()
+
+    model = BiT(stage_sizes=(1, 1))
+    got = np.asarray(model.apply({"params": params}, jnp.asarray(x)))
+    np.testing.assert_allclose(got, ref_pooled, rtol=2e-4, atol=2e-4)
+
+    flat_model = BiT(stage_sizes=(1, 1), pooling="flatten")
+    got_flat = np.asarray(flat_model.apply({"params": params}, jnp.asarray(x)))
+    np.testing.assert_allclose(got_flat, ref_flat, rtol=2e-4, atol=2e-4)
+
+
+def test_bit50_tree_shapes():
+    """The full google/bit-50 layout converts into the exact BiT50 param
+    tree (shape-checked via eval_shape; no full init needed)."""
+    import jax
+    import jax.numpy as jnp
+
+    transformers = pytest.importorskip("transformers")
+    from image_search_engine_tpu.models.bit import BiT50
+    from image_search_engine_tpu.models.torch_import import convert_hf_bit
+
+    cfg = transformers.BitConfig(
+        num_channels=3, embedding_size=64,
+        hidden_sizes=[256, 512, 1024, 2048], depths=[3, 4, 6, 3],
+        layer_type="preactivation", global_padding="SAME", num_groups=32,
+        embedding_dynamic_padding=True, hidden_act="relu",
+    )
+    with torch.device("meta"):
+        tm = transformers.BitModel(cfg)
+    params, _ = convert_hf_bit(
+        {k: np.zeros(v.shape, np.float32) for k, v in tm.state_dict().items()}
+    )
+    model = BiT50()
+    expected = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 224, 224, 3), jnp.float32))
+    )["params"]
+    got_shapes = jax.tree.map(lambda a: a.shape, params)
+    want_shapes = jax.tree.map(lambda a: a.shape, expected)
+    assert got_shapes == want_shapes
+
+
+def test_bit_rejects_wrong_depth():
+    from image_search_engine_tpu.models.torch_import import convert_hf_bit
+
+    tm = _hf_bit_tiny()
+    with pytest.raises((ValueError, KeyError)):
+        convert_hf_bit(tm.state_dict(), stage_sizes=(1, 1, 1))
+
+
+def test_embedder_with_bit_torch_weights(tmp_path):
+    from image_search_engine_tpu.models.embedder import CNNEmbedder
+
+    tm = _hf_bit_tiny()
+    p = tmp_path / "bit_tiny.pth"
+    torch.save(tm.state_dict(), p)
+    emb = CNNEmbedder("bit-tiny", image_size=64, batch_size=2, torch_weights=p)
+    x = np.random.default_rng(1).random((3, 64, 64, 3)).astype(np.float32)
+    out = emb.embed_batch(x)
+    assert out.shape == (3, 512) and np.isfinite(out).all()
+    # embeddings follow the converted weights, not a random init
+    emb_rand = CNNEmbedder("bit-tiny", image_size=64, batch_size=2)
+    assert not np.allclose(out, emb_rand.embed_batch(x), atol=1e-3)
