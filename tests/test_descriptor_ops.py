@@ -139,3 +139,58 @@ def test_describe_dataset_cache_invalidated_on_corpus_change(rng, tmp_path):
     Image.fromarray((rng.random((40, 40, 3)) * 255).astype(np.uint8)).save(p_new)
     f3, _, k3 = describe_dataset(HOGDescriptor(), paths + [p_new], 32, 2, cache_path=cache)
     assert f3.shape[0] == 4 and len(k3) == 4
+
+
+def test_multiscale_pyramid_budgets():
+    from image_search_engine_tpu.ops.corners import _level_budgets
+
+    for mk, nl in ((256, 4), (100, 3), (64, 4)):
+        b = _level_budgets(mk, nl, 1.25)
+        assert sum(b) == mk and all(v >= 8 for v in b)
+        assert b == sorted(b, reverse=True)  # base level gets the most
+
+
+def test_multiscale_shapes_and_small_image_fallback(rng):
+    from image_search_engine_tpu.ops.corners import detect_and_describe
+
+    img = rng.random((2, 128, 128)).astype(np.float32)
+    d, v = detect_and_describe(img, "orb", max_keypoints=96, n_levels=4)
+    assert d.shape == (2, 96, 256) and v.shape == (2, 96)
+
+    # image too small for a pyramid: silently single-scale
+    tiny = rng.random((2, 80, 80)).astype(np.float32)
+    d2, v2 = detect_and_describe(tiny, "orb", max_keypoints=64, n_levels=4)
+    assert d2.shape == (2, 64, 256)
+
+
+def test_multiscale_improves_scale_robustness(rng):
+    """A checkerboard-textured image vs its 1.5x-downscaled self: with a
+    pyramid, descriptor sets should match better (smaller mean nearest-
+    descriptor distance) than single-scale detection."""
+    import jax.numpy as jnp
+
+    from image_search_engine_tpu.ops.corners import detect_and_describe
+
+    # textured synthetic image (random blobs + checker to give corners)
+    base = rng.random((12, 12)).astype(np.float32)
+    img = np.kron(base, np.ones((16, 16), np.float32))  # 192x192 checker
+    img += 0.1 * rng.standard_normal(img.shape).astype(np.float32)
+    img = np.clip(img, 0, 1)
+    small = np.asarray(
+        jnp.squeeze(
+            jnp.asarray(img)[None, :, :, None]
+        )
+    )
+    import jax
+
+    scaled = np.asarray(jax.image.resize(jnp.asarray(img), (128, 128), "bilinear"))
+
+    def mean_nn_dist(n_levels):
+        d1, v1 = detect_and_describe(img[None], "sift", 64, n_levels=n_levels)
+        d2, v2 = detect_and_describe(scaled[None], "sift", 64, n_levels=n_levels)
+        a = np.asarray(d1[0])[np.asarray(v1[0])]
+        b = np.asarray(d2[0])[np.asarray(v2[0])]
+        dist = ((a[:, None] - b[None]) ** 2).sum(-1)
+        return float(dist.min(axis=1).mean())
+
+    assert mean_nn_dist(4) < mean_nn_dist(1)
