@@ -1,0 +1,163 @@
+"""Fused batched IVF probed-scan (Pallas).
+
+The XLA batched IVF path gathers every query's probed buckets into one
+``(Q, nprobe*cap, d)`` HBM buffer (index/ivf._ivf_search_kernel) — ~5 GB
+at the 1M operating point (Q=2048, nprobe=4, cap=1272, d=128), which is
+why round 1 recorded batched IVF as "100x slower per call" and served
+IVF single-query-only (VERDICT r1 weak #3).
+
+This kernel removes the gather buffer with the same scalar-prefetch
+pattern as the fused rescore (ops/topk_pallas.py phase 2): a 2-D grid
+(query row-block, probe slot) whose BlockSpec index maps read each query
+row's probed BUCKET id from a prefetched (Q*nprobe,) ref, so every grid
+step DMAs ``qb`` (cap, d) packed-bucket blocks straight into VMEM,
+rescans them against the resident query rows, and writes only the
+(qb, cap) score tile. HBM traffic = one read of the probed buckets —
+memory O(Q * nprobe * cap) scores, no vector gather buffer.
+
+Pad slots inside a bucket carry +inf in ``packed_norms`` (see
+index/ivf._pack), so they can never win the final top-k — validity rides
+in data, exactly like the flat store's pad poisoning.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _probed_scan_kernel(probe_ref, *refs, qb: int, f32_table: bool):
+    """Score one probed bucket per query row per grid step.
+
+    refs: q (qb, dp) | qb x (cap, dp) bucket blocks | qb x (1, 1, cap)
+    norm blocks | out (qb, cap).
+    """
+    q_ref = refs[0]
+    x_refs = refs[1 : 1 + qb]
+    n_refs = refs[1 + qb : 1 + 2 * qb]
+    out_ref = refs[1 + 2 * qb]
+    prec = jax.lax.Precision.HIGHEST if f32_table else None
+    for j in range(qb):
+        xb = x_refs[j][:]  # (cap, dp) table dtype
+        cross = jax.lax.dot_general(
+            q_ref[j][None, :],
+            xb,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        )  # (1, cap)
+        out_ref[j, :] = (n_refs[j][0] - 2.0 * cross)[0]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "nprobe", "qb", "interpret")
+)
+def ivf_probed_topk(
+    q: jnp.ndarray,
+    bucket_centroids: jnp.ndarray,
+    packed: jnp.ndarray,
+    packed_norms: jnp.ndarray,
+    lists: jnp.ndarray,
+    k: int,
+    nprobe: int,
+    qb: int = 8,
+    interpret: Optional[bool] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Batched IVF search with the fused probed-scan kernel.
+
+    Args:
+      q: (Q, d) f32 queries.
+      bucket_centroids: (nbuckets, d) f32 (pad buckets poisoned far away).
+      packed: (nbuckets, cap, d) list-contiguous vectors (f32 or bf16).
+      packed_norms: (nbuckets, cap) f32, +inf at pad slots.
+      lists: (nbuckets, cap) int32 global row ids, -1 at pad slots.
+      k: neighbors.
+      nprobe: buckets to scan per query.
+    Returns:
+      (dist (Q, k) ascending squared-L2, ids (Q, k), ok (Q, k) bool).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    qn, d = q.shape
+    nbuckets, cap, _ = packed.shape
+    dp = _round_up(d, 128)
+    cap_p = _round_up(cap, 128)
+    qp = _round_up(qn, qb)
+    table_dt = packed.dtype
+
+    qf = jnp.pad(q.astype(table_dt), ((0, qp - qn), (0, dp - d)))
+    xf = jnp.pad(packed, ((0, 0), (0, cap_p - cap), (0, dp - d)))
+    # flatten to (nbuckets*cap_p, d): the kernel blocks (cap_p, dp) rows
+    # with a LEADING-dim dynamic index map (the Mosaic-fast form)
+    xf = xf.reshape(nbuckets * cap_p, dp)
+    nf = jnp.pad(packed_norms, ((0, 0), (0, cap_p - cap)),
+                 constant_values=jnp.inf)
+    norms_3d = nf.reshape(nbuckets, 1, cap_p)
+
+    # rank buckets on the MXU (tiny: nbuckets x d)
+    cn = jnp.sum(bucket_centroids * bucket_centroids, axis=1)
+    cd = cn[None, :] - 2.0 * jnp.dot(
+        q, bucket_centroids.T, preferred_element_type=jnp.float32
+    )
+    _, probe = jax.lax.top_k(-cd, nprobe)  # (Q, nprobe) bucket ids
+    probe_pad = jnp.pad(probe, ((0, qp - qn), (0, 0)))
+    probe_flat = probe_pad.reshape(-1).astype(jnp.int32)
+
+    def x_map(j):
+        # step (i, p): query row i*qb+j's p-th probed bucket
+        return lambda i, p, pr: (pr[(i * qb + j) * nprobe + p], 0)
+
+    def n_map(j):
+        return lambda i, p, pr: (pr[(i * qb + j) * nprobe + p], 0, 0)
+
+    out_spec = pl.BlockSpec((qb, cap_p), lambda i, p, pr: (i, p))
+    out_shape = jax.ShapeDtypeStruct((qp, nprobe * cap_p), jnp.float32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(qp // qb, nprobe),
+        in_specs=[
+            pl.BlockSpec((qb, dp), lambda i, p, pr: (i, 0)),
+            *[pl.BlockSpec((cap_p, dp), x_map(j)) for j in range(qb)],
+            *[pl.BlockSpec((1, 1, cap_p), n_map(j)) for j in range(qb)],
+        ],
+        out_specs=out_spec,
+    )
+    cparams = pltpu.CompilerParams(
+        vmem_limit_bytes=min(
+            int(3.0 * qb * (cap_p * dp * xf.dtype.itemsize + cap_p * 4))
+            + (4 << 20),
+            112 * (1 << 20),
+        )
+    )
+    scores = pl.pallas_call(
+        functools.partial(
+            _probed_scan_kernel, qb=qb, f32_table=(table_dt == jnp.float32)
+        ),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        compiler_params=cparams,
+        interpret=interpret,
+    )(probe_flat, qf, *([xf] * qb), *([norms_3d] * qb))
+    scores = scores[:qn]  # (Q, nprobe*cap_p), +inf at pads
+
+    # global ids of every scanned slot (ints only — no vector gather)
+    lists_p = jnp.pad(lists, ((0, 0), (0, cap_p - cap)), constant_values=-1)
+    cand = lists_p[probe].reshape(qn, nprobe * cap_p)
+
+    qnorm = jnp.sum(q.astype(jnp.float32) * q, axis=1, keepdims=True)
+    kk = min(k, nprobe * cap_p)
+    vals, pos = jax.lax.top_k(-scores, kk)
+    ids = jnp.take_along_axis(cand, pos, axis=1)
+    ok = jnp.isfinite(-vals) & (ids >= 0)
+    dist = jnp.maximum(-vals + qnorm, 0.0)
+    return dist, ids, ok
