@@ -1,0 +1,76 @@
+"""IVFPQ at 1M scale: batched ADC search (gather LUT, no one-hot).
+
+Round 1's one-hot ADC materialized (Q, L, m, 256) f32 (~21 MB per query
+per probe at this operating point) and OOMed any real batch; the
+take_along_axis rewrite is O(Q*L*m). This bench records batched QPS,
+single-query latency, recall vs exact flat, and the compression ratio.
+
+    python benchmarks/ivfpq_1m.py
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+N, D, NLIST, M, K = 1_000_000, 128, 1024, 16, 10
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from image_search_engine_tpu.index.ivf import IVFPQIndex
+    from image_search_engine_tpu.ops.topk_pallas import topk_twophase
+
+    assert jax.default_backend() == "tpu"
+    rng = np.random.default_rng(0)
+    # clustered corpus (IVF needs structure)
+    centers = rng.standard_normal((64, D)).astype(np.float32) * 3
+    x = np.concatenate([
+        c + rng.standard_normal((N // 64, D)).astype(np.float32) for c in centers
+    ])
+    q = x[rng.choice(N, 256, replace=False)] + 0.05 * rng.standard_normal(
+        (256, D)).astype(np.float32)
+
+    t0 = time.time()
+    pq = IVFPQIndex(nlist=NLIST, nprobe=8, m=M).add(x)
+    build_s = time.time() - t0
+    codes_mb = pq.codes.nbytes / 1e6
+    raw_mb = x.nbytes / 1e6
+    print(f"build {build_s:.1f}s; codes {codes_mb:.0f} MB vs raw {raw_mb:.0f} MB "
+          f"({raw_mb / codes_mb:.0f}x compression)", flush=True)
+
+    # recall vs exact flat (two-phase on chip)
+    xn = jnp.asarray((x * x).sum(1))
+    ed, ei = topk_twophase(jnp.asarray(q), jnp.asarray(x, jnp.bfloat16), K,
+                           "l2", x_norms=jnp.asarray((np.asarray(
+                               jnp.asarray(x, jnp.bfloat16), np.float32)**2).sum(1)),
+                           tile_n=4096, t_margin=2)[:2]
+    ei = np.asarray(ei)
+
+    for qn in (1, 64, 256):
+        d, i = pq.search(q[:qn], K)  # compile
+        t0 = time.time()
+        reps = 20 if qn == 1 else 5
+        for _ in range(reps):
+            d, i = pq.search(q[:qn], K)
+        el = (time.time() - t0) / reps
+        if qn == 1:
+            print(f"single-query latency: {el*1e3:.2f} ms", flush=True)
+        else:
+            print(f"batched Q={qn}: {el*1e3:.1f} ms/batch -> {qn/el:.0f} QPS",
+                  flush=True)
+    _, pi = pq.search(q, K)
+    rec = np.mean([len(set(a) & set(b)) / K
+                   for a, b in zip(np.asarray(pi).tolist(), ei.tolist())])
+    print(f"recall@10 vs exact (Q=256, nprobe=8): {rec:.3f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
