@@ -175,23 +175,34 @@ class IVFIndex:
         return x
 
     def add(self, x: np.ndarray) -> "IVFIndex":
-        """Train the coarse quantizer and build the padded inverted lists
-        (faiss: index.train + index.add, utils.py:322-329)."""
+        """Train the coarse quantizer (first add only — faiss semantics:
+        ``index.train`` once, then ``index.add`` appends, utils.py:322-329)
+        and (re)build the padded inverted lists. Subsequent adds assign
+        new rows to the EXISTING cells and re-bucket — no retrain, so the
+        coarse partition (and any saved PQ residual books) stay valid."""
         x = self._prep(x)
-        if self.vectors is not None:
+        first = self.vectors is None
+        if not first:
             x = np.concatenate([self.vectors, x])
         self.vectors = x
         n = x.shape[0]
 
-        km = KMeans(n_clusters=self.nlist, niter=25, nredo=1, seed=self.seed,
-                    spherical=False).fit(x)
-        self.centroids = km.cluster_centers_
-        codes = km.transform(x)[:, 0]
+        if first or self.centroids is None:
+            km = KMeans(n_clusters=self.nlist, niter=25, nredo=3,
+                        seed=self.seed, spherical=False).fit(x)
+            self.centroids = km.cluster_centers_
+            codes = km.transform(x)[:, 0]
+        else:
+            codes = self._assign_cells(x)
 
         self.lists, self.bucket_cell = _build_buckets(codes, self.nlist)
         self.list_valid = self.lists >= 0
         self._pack()
         return self
+
+    def _assign_cells(self, x) -> np.ndarray:
+        codes, _ = assign_jax(jnp.asarray(x), jnp.asarray(self.centroids))
+        return np.asarray(codes)
 
     def _pack(self) -> None:
         """List-contiguous vector layout: probing a bucket reads one
@@ -435,10 +446,6 @@ class IVFPQIndex(IVFIndex):
                 jnp.asarray(self.pq_books),
             )
         return self._dev_pq
-
-    def _assign_cells(self, x) -> np.ndarray:
-        codes, _ = assign_jax(jnp.asarray(x), jnp.asarray(self.centroids))
-        return np.asarray(codes)
 
     def search(self, q: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
         assert self.codes is not None, "add() first"

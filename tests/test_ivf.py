@@ -280,3 +280,19 @@ def test_ivf_bf16_save_load_roundtrip(rng, tmp_path):
     d2, i2 = idx2.search(q, 5)
     np.testing.assert_array_equal(i1, i2)
     np.testing.assert_allclose(d1, d2, rtol=1e-5, atol=1e-5)
+
+
+def test_ivf_incremental_add_keeps_centroids(corpus, rng):
+    # faiss semantics: train once, add appends — a second add must not
+    # retrain the coarse quantizer (round-1 retrained from scratch each
+    # call, invalidating any PQ residual books)
+    x, q = corpus
+    ivf = IVFIndex(nlist=8, nprobe=8).add(x[:1500])
+    c0 = ivf.centroids.copy()
+    ivf.add(x[1500:])
+    np.testing.assert_array_equal(ivf.centroids, c0)
+    assert ivf.ntotal == len(x)
+    flat = FlatIndex("l2").add(x)
+    _, fi = flat.search(q, 10)
+    _, ii = ivf.search(q, 10)
+    assert recall_at_k(np.asarray(ii), fi) >= 0.95
