@@ -103,6 +103,8 @@ class Config:
     kmeans_seed: int = 42
     kmeans_spherical: bool = True
     max_descriptors_per_image: int = 256  # fixed-size keypoint budget (TPU-shaped)
+    corner_n_levels: int = 4  # keypoint scale-pyramid depth (cv2 ORB: 8x1.2)
+    corner_scale_step: float = 1.25
     daisy_step: int = 32  # reference descriptors.py:238-254 defaults
     daisy_radius: int = 32
 

@@ -54,13 +54,19 @@ class CornerDescriptor:
 
     is_set = True
 
-    def __init__(self, kind: str | CornerDescriptorKind = "orb", max_keypoints: int = 256):
+    def __init__(self, kind: str | CornerDescriptorKind = "orb", max_keypoints: int = 256,
+                 n_levels: int = 4, scale_step: float = 1.25):
         self.kind = kind.value if isinstance(kind, CornerDescriptorKind) else kind
         self.max_keypoints = max_keypoints
+        self.n_levels = n_levels
+        self.scale_step = scale_step
 
     def describe_batch(self, images):
         gray = rgb_to_gray(jnp.asarray(images, jnp.float32))
-        d, valid = corner_ops.detect_and_describe(gray, self.kind, self.max_keypoints)
+        d, valid = corner_ops.detect_and_describe(
+            gray, self.kind, self.max_keypoints,
+            n_levels=self.n_levels, scale_step=self.scale_step,
+        )
         return np.asarray(d), np.asarray(valid)
 
 
@@ -155,7 +161,9 @@ def make_descriptor(cfg: Config, embedder=None) -> SupportsDescribeBatch:
     kind = cfg.corner_descriptor
     if kind == CornerDescriptorKind.DAISY:
         return DaisyDescriptor(step=cfg.daisy_step, radius=cfg.daisy_radius)
-    return CornerDescriptor(kind, cfg.max_descriptors_per_image)
+    return CornerDescriptor(kind, cfg.max_descriptors_per_image,
+                            n_levels=cfg.corner_n_levels,
+                            scale_step=cfg.corner_scale_step)
 
 
 def describe_dataset(

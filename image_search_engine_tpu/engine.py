@@ -243,6 +243,11 @@ class QueryEngine:
                     max_descriptors_per_image=int(dp.get("max_keypoints", 256)),
                     daisy_step=int(dp.get("daisy_step", 32)),
                     daisy_radius=int(dp.get("daisy_radius", 32)),
+                    # pre-pyramid artifacts (round 1) default to single-scale
+                    # so their codebooks keep seeing the geometry that built
+                    # them
+                    corner_n_levels=int(dp.get("n_levels", 1)),
+                    corner_scale_step=float(dp.get("scale_step", 1.25)),
                 )
                 descriptor = make_descriptor(art_cfg)
                 s = int(dp.get("resize_size", cfg.resize_size))

@@ -139,6 +139,8 @@ def build_bovw_index(cfg: Config, paths, mesh=None, use_native: bool = False) ->
             "max_keypoints": cfg.max_descriptors_per_image,
             "daisy_step": cfg.daisy_step, "daisy_radius": cfg.daisy_radius,
             "resize_size": cfg.resize_size,
+            "n_levels": cfg.corner_n_levels,
+            "scale_step": cfg.corner_scale_step,
         },
     )
     hists = pipeline.fit_transform(feats, valid)
@@ -202,6 +204,11 @@ def parse_args(argv=None):
     ap.add_argument("--corner-descriptor",
                     choices=[c.value for c in CornerDescriptorKind], default="daisy")
     ap.add_argument("--num-clusters", type=int, default=200)
+    ap.add_argument("--max-keypoints", type=int, default=256,
+                    help="total keypoint budget across pyramid octaves")
+    ap.add_argument("--corner-n-levels", type=int, default=4,
+                    help="keypoint scale-pyramid depth (1 = single-scale)")
+    ap.add_argument("--corner-scale-step", type=float, default=1.25)
     ap.add_argument("--cluster-grid-search", action="store_true")
     ap.add_argument("--batch-size", type=int, default=64)
     ap.add_argument("--resize-size", type=int, default=224)
@@ -225,6 +232,8 @@ def parse_args(argv=None):
         dnn_model=DnnModel(a.dnn_model),
         corner_descriptor=CornerDescriptorKind(a.corner_descriptor),
         num_clusters=a.num_clusters, use_cluster_grid_search=a.cluster_grid_search,
+        max_descriptors_per_image=a.max_keypoints,
+        corner_n_levels=a.corner_n_levels, corner_scale_step=a.corner_scale_step,
         embed_batch_size=a.batch_size, resize_size=a.resize_size,
         precompute_thumbnails=not a.no_thumbnails, store_dtype=a.store_dtype,
         torch_weights=a.torch_weights,
