@@ -31,11 +31,11 @@ def main():
     assert jax.default_backend() == "tpu"
     rng = np.random.default_rng(0)
     # clustered corpus (IVF needs structure)
-    centers = rng.standard_normal((64, D)).astype(np.float32) * 3
+    centers = rng.standard_normal((4096, D)).astype(np.float32) * 3
     x = np.concatenate([
-        c + rng.standard_normal((N // 64, D)).astype(np.float32) for c in centers
-    ])
-    q = x[rng.choice(N, 256, replace=False)] + 0.05 * rng.standard_normal(
+        c + rng.standard_normal((N // 4096, D)).astype(np.float32) for c in centers
+    ])[:N]
+    q = x[rng.choice(N, 256, replace=False)] + 0.1 * rng.standard_normal(
         (256, D)).astype(np.float32)
 
     t0 = time.time()
