@@ -216,6 +216,57 @@ class QueryEngine:
 
                 return search
 
+            from image_search_engine_tpu.index.ivf import IVFIndex, IVFPQIndex
+
+            if type(index) is IVFIndex:
+                # fuse embed + probed IVF scan into one jitted program —
+                # the unfused path pays two extra host hops (embeddings
+                # come back to host, then go back out with the search),
+                # each a full RTT on the serving path
+                import functools as _ft
+
+                import jax
+                import jax.numpy as jnp
+
+                from image_search_engine_tpu.index.ivf import _ivf_search_kernel
+                from image_search_engine_tpu.ops.distances import l2_normalize
+                from image_search_engine_tpu.ops.image_ops import preprocess_for_cnn
+
+                model = embedder.model
+                normalize = index.metric == "cosine"
+                nprobe = index._effective_nprobe()
+                max_list = index.lists.shape[1]
+                bcents, lists_d, valid_d, packed_d, pnorms_d = index._device_arrays()
+                norm_name2 = embedder.norm_name
+
+                @_ft.partial(jax.jit, static_argnames=("k",))
+                def fused_ivf(params, batch_stats, images, k):
+                    x = preprocess_for_cnn(images, s, norm=norm_name2)
+                    variables = {"params": params}
+                    if batch_stats is not None:
+                        variables["batch_stats"] = batch_stats
+                    emb = model.apply(variables, x, train=False)
+                    if normalize:
+                        emb = l2_normalize(emb)
+                    return _ivf_search_kernel(
+                        emb, bcents, lists_d, valid_d, packed_d, pnorms_d,
+                        k, nprobe, max_list,
+                    )
+
+                def search(image: np.ndarray, k: int):
+                    k_eff = min(k, index.ntotal, nprobe * max_list)
+                    out = fused_ivf(
+                        embedder.params, embedder.batch_stats,
+                        jnp.asarray(_resize_host(image, s)[None], jnp.float32),
+                        k_eff,
+                    )
+                    d, i, ok = jax.device_get(out)  # one host transfer
+                    d, i, ok = np.array(d), np.array(i), np.array(ok)
+                    i[~ok] = -1
+                    return index._finish(d, i, k)
+
+                return search
+
             def search(image: np.ndarray, k: int):
                 # resize BEFORE the jitted embed so the backbone compiles
                 # once for (1, s, s, 3) instead of per upload resolution

@@ -312,3 +312,18 @@ def test_embedder_provenance_warns_on_mismatch(corpus_dir, caplog):
     with caplog.at_level(_logging.WARNING, logger="image_search_engine_tpu.engine"):
         QueryEngine(cfg2, prewarm=False)
     assert [r for r in caplog.records if "embedder mismatch" in r.message]
+
+
+def test_engine_cell_probe_unsharded_fused(corpus_dir):
+    # single-process cell-probe serving goes through the fused
+    # embed+probe program (one device round-trip per query)
+    from image_search_engine_tpu.utils.imageio import load_image
+
+    cfg = _cfg(corpus_dir, method=Method.DNN, dnn_model=DnnModel.RESNET_TINY,
+               index_type=IndexType.CELL_PROBE, ivf_nlist=4, ivf_nprobe=4)
+    indexer_main(cfg)
+    engine = QueryEngine(cfg)
+    img = load_image(engine.paths[0])
+    pred = engine.query(img, k=3)
+    assert pred[0][2] == engine.paths[0]
+    assert pred[0][0] < 0.05
