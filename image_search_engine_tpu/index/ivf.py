@@ -447,6 +447,12 @@ class IVFPQIndex(IVFIndex):
             )
         return self._dev_pq
 
+    def search_batched(self, q: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+        """ADC already handles batches (O(Q*L*m) memory since the gather
+        rewrite); the raw-vector probed-scan kernel would silently score
+        uncompressed vectors, which is not what a PQ index promises."""
+        return self.search(q, k)
+
     def search(self, q: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
         assert self.codes is not None, "add() first"
         q = self._prep(np.atleast_2d(np.asarray(q, np.float32)))
