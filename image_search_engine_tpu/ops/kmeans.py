@@ -129,6 +129,81 @@ def kmeans_fit(
     return best_c, best_inertia
 
 
+@functools.partial(jax.jit, static_argnames=("k", "niter", "chunk"))
+def subspace_kmeans(
+    resid: jnp.ndarray,
+    k: int = 256,
+    niter: int = 20,
+    seed: int = 42,
+    chunk: int = 65536,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Train ALL m product-quantizer codebooks in one vmapped program.
+
+    PQ training runs an independent small k-means per subspace; doing
+    them as m serial ``KMeans.fit`` calls costs m host round-trips +
+    dispatch overhead per iteration (a 1M x 128 / m=16 IVFPQ build
+    measured ~25 min, ~90 s per subspace). Here Lloyd's iterations vmap
+    over the subspace axis and the assignment scan is chunked over N so
+    the per-step score matrix is (m, chunk, k) — one compile, one
+    dispatch for the whole trainer.
+
+    Args:
+      resid: (N, m, dsub) residuals.
+      k: codewords per subspace (<= 256 for 8-bit codes).
+      niter: Lloyd iterations.
+      chunk: rows per assignment chunk (memory knob).
+    Returns:
+      (books (m, k, dsub) f32, codes (N, m) int32).
+    """
+    x = jnp.swapaxes(jnp.asarray(resid, jnp.float32), 0, 1)  # (m, N, dsub)
+    m, n, dsub = x.shape
+    chunk = min(chunk, ((n + 1023) // 1024) * 1024)  # small-N: one chunk
+    npad = ((n + chunk - 1) // chunk) * chunk
+    xp = jnp.pad(x, ((0, 0), (0, npad - n), (0, 0)))
+    # pad rows get the sentinel segment k, dropped from every stat
+    valid = (jnp.arange(npad) < n)
+    xc = xp.reshape(m, npad // chunk, chunk, dsub)
+    vc = valid.reshape(npad // chunk, chunk)
+
+    keys = jax.random.split(jax.random.PRNGKey(seed), m)
+    inits = jax.vmap(
+        lambda xm, kk: xm[jax.random.choice(kk, n, shape=(k,), replace=n < k)]
+    )(x, keys)
+
+    def run_one(x_chunks, init):
+        def body(c, _):
+            def chunk_step(carry, inp):
+                sums, counts = carry
+                xcb, vb = inp
+                codes, _ = assign_jax(xcb, c)
+                codes = jnp.where(vb, codes, k)  # pads -> dropped segment
+                sums = sums + jax.ops.segment_sum(xcb, codes, num_segments=k + 1)[:k]
+                counts = counts + jax.ops.segment_sum(
+                    vb.astype(jnp.float32), codes, num_segments=k + 1)[:k]
+                return (sums, counts), None
+
+            (sums, counts), _ = jax.lax.scan(
+                chunk_step,
+                (jnp.zeros((k, dsub)), jnp.zeros((k,))),
+                (x_chunks, vc),
+            )
+            new_c = sums / jnp.maximum(counts, 1.0)[:, None]
+            return jnp.where(counts[:, None] > 0, new_c, c), None
+
+        c, _ = jax.lax.scan(body, init, None, length=niter)
+
+        def code_step(_, inp):
+            xcb, _vb = inp
+            codes, _ = assign_jax(xcb, c)
+            return None, codes
+
+        _, codes = jax.lax.scan(code_step, None, (x_chunks, vc))
+        return c, codes.reshape(-1)[:n]
+
+    books, codes = jax.vmap(run_one)(xc, inits)  # (m, k, dsub), (m, n)
+    return books, jnp.swapaxes(codes, 0, 1).astype(jnp.int32)
+
+
 @dataclasses.dataclass
 class KMeans:
     """sklearn-style facade mirroring the reference's FaissKMeans

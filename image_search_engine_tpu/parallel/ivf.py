@@ -321,10 +321,15 @@ class ShardedIVFPQ(ShardedIVF):
                 cand = lists_local[b]  # (Q, cap) global ids
                 valid = cand >= 0
                 ccodes = pcodes_local[b]  # (Q, cap, m) block gather
-                picked = jnp.take_along_axis(
-                    lut[:, None], ccodes[..., None], axis=3
-                )  # (Q, cap, m, 1)
-                dist = jnp.sum(picked[..., 0], axis=2)
+                # per-subspace bf16 one-hot einsum (MXU lookup; TPU
+                # gathers measured 13x slower — see index/ivf.py ADC note)
+                dist = jnp.zeros(ccodes.shape[:2], jnp.float32)
+                for mm in range(m):
+                    oh = jax.nn.one_hot(ccodes[:, :, mm], 256, dtype=jnp.bfloat16)
+                    dist = dist + jnp.einsum(
+                        "qlk,qk->ql", oh, lut[:, mm].astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32,
+                    )
                 return jnp.where(valid, dist, jnp.inf), cand
 
             dists, cands = [], []

@@ -71,3 +71,42 @@ def test_transform_shape_matches_reference_contract(rng):
     assert out.shape == (50, 1)
     assert out.dtype in (np.int32, np.int64)
     assert (out >= 0).all() and (out < 4).all()
+
+
+def test_subspace_kmeans_matches_serial_fits(rng):
+    # the vmapped all-subspaces trainer must cluster as well as m serial
+    # KMeans fits (same data, same k): compare per-subspace quantization
+    # error, and codes must be valid nearest-centroid assignments
+    import jax.numpy as jnp
+
+    from image_search_engine_tpu.ops.kmeans import KMeans, assign_jax, subspace_kmeans
+
+    n, m, dsub, k = 3000, 4, 8, 16
+    resid = rng.standard_normal((n, m, dsub)).astype(np.float32)
+    books, codes = subspace_kmeans(jnp.asarray(resid), k=k, niter=15, seed=0)
+    books, codes = np.asarray(books), np.asarray(codes)
+    assert books.shape == (m, k, dsub) and codes.shape == (n, m)
+    assert codes.min() >= 0 and codes.max() < k
+
+    for j in range(m):
+        # codes are the argmin assignment for the returned books
+        direct, _ = assign_jax(jnp.asarray(resid[:, j]), jnp.asarray(books[j]))
+        np.testing.assert_array_equal(codes[:, j], np.asarray(direct))
+        # quantization error within 10% of a serial fit's
+        err_v = ((resid[:, j] - books[j][codes[:, j]]) ** 2).sum(1).mean()
+        km = KMeans(n_clusters=k, niter=15, nredo=1, seed=0,
+                    spherical=False).fit(resid[:, j])
+        err_s = ((resid[:, j] - km.cluster_centers_[km.transform(resid[:, j])[:, 0]]) ** 2).sum(1).mean()
+        assert err_v <= err_s * 1.10, (err_v, err_s)
+
+
+def test_subspace_kmeans_padding_does_not_pollute(rng):
+    # N not a multiple of the chunk: pad rows must not drag centroids
+    import jax.numpy as jnp
+
+    from image_search_engine_tpu.ops.kmeans import subspace_kmeans
+
+    resid = rng.standard_normal((1030, 2, 4)).astype(np.float32) + 5.0
+    books, codes = subspace_kmeans(jnp.asarray(resid), k=8, niter=10, chunk=512)
+    # all data is near +5; a pad-polluted centroid would sit near 0
+    assert np.asarray(books).reshape(-1, 4).max(axis=1).min() > 2.0
