@@ -67,9 +67,18 @@ def main():
             print(f"batched Q={qn}: {el*1e3:.1f} ms/batch -> {qn/el:.0f} QPS",
                   flush=True)
     _, pi = pq.search(q, K)
+    pi = np.asarray(pi)
     rec = np.mean([len(set(a) & set(b)) / K
-                   for a, b in zip(np.asarray(pi).tolist(), ei.tolist())])
-    print(f"recall@10 vs exact (Q=256, nprobe=8): {rec:.3f}", flush=True)
+                   for a, b in zip(pi.tolist(), ei.tolist())])
+    # recall@1 is the informative number on this corpus: ranks 2..10 are
+    # ~244 near-exact ties among cluster mates, so @10 measures PQ noise
+    # re-ranking a lottery, not retrieval quality
+    rec1 = float(np.mean(pi[:, 0] == ei[:, 0]))
+    rec1_in10 = float(np.mean([ei[j, 0] in set(pi[j].tolist())
+                               for j in range(len(ei))]))
+    print(f"recall@10 vs exact (Q=256, nprobe=8): {rec:.3f}; "
+          f"recall@1: {rec1:.3f}; true-NN in PQ top-10: {rec1_in10:.3f}",
+          flush=True)
 
 
 if __name__ == "__main__":

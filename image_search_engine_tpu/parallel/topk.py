@@ -169,7 +169,8 @@ def distributed_topk(
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if metric == "chi2":
-        use_pallas = False  # elementwise metric; no fused kernel (yet)
+        use_pallas = False  # elementwise metric; local path scans in
+        # fixed-memory chunks (_chi2_topk_chunked) beyond CHI2_CHUNK rows
     n_shards = mesh.shape[axis]
     rows_per_shard = x_sharded.shape[0] // n_shards
     descending = metric == "ip"
