@@ -138,6 +138,7 @@ class FlatIndex:
                     q, self.store.vectors, self.store.norms, k_eff,
                     search_metric, False, scales=self.store.scales,
                 )
+        d, i = jax.device_get((d, i))  # one RTT for both outputs
         d, i = np.array(d)[:, :k], np.array(i)[:, :k]
         if d.shape[1] < k:  # k > ntotal: pad with Faiss's (-1, worst) tail
             pad = k - d.shape[1]

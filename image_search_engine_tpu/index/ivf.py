@@ -253,11 +253,11 @@ class IVFIndex:
         nprobe = self._effective_nprobe()
         k_eff = min(k, self.ntotal, nprobe * self.lists.shape[1])
         bcents, lists, valid, packed, pnorms = self._device_arrays()
-        d, i, ok = _ivf_search_kernel(
+        out = _ivf_search_kernel(
             jnp.asarray(q), bcents, lists, valid, packed, pnorms,
             k_eff, nprobe, self.lists.shape[1],
         )
-        d, i, ok = np.array(d), np.array(i), np.array(ok)
+        d, i, ok = (np.array(a) for a in jax.device_get(out))  # one RTT
         i[~ok] = -1  # faiss returns -1 when probes hold < k candidates
         return self._finish(d, i, k)
 
@@ -275,10 +275,10 @@ class IVFIndex:
         nprobe = self._effective_nprobe()
         k_eff = min(k, self.ntotal, nprobe * self.lists.shape[1])
         bcents, lists, _, packed, pnorms = self._device_arrays()
-        d, i, ok = ivf_probed_topk(
+        out = ivf_probed_topk(
             jnp.asarray(q), bcents, packed, pnorms, lists, k_eff, nprobe,
         )
-        d, i, ok = np.array(d), np.array(i), np.array(ok)
+        d, i, ok = (np.array(a) for a in jax.device_get(out))  # one RTT
         i[~ok] = -1
         return self._finish(d, i, k)
 
@@ -468,11 +468,11 @@ class IVFPQIndex(IVFIndex):
         nprobe = self._effective_nprobe()
         k_eff = min(k, self.ntotal, nprobe * self.lists.shape[1])
         bcents, lists, valid, pcodes, books = self._device_arrays_pq()
-        d, i, ok = _ivfpq_search_kernel(
+        out = _ivfpq_search_kernel(
             jnp.asarray(q), bcents, lists, valid, pcodes, books,
             k_eff, nprobe, self.lists.shape[1], self.m,
         )
-        d, i, ok = np.array(d), np.array(i), np.array(ok)
+        d, i, ok = (np.array(a) for a in jax.device_get(out))  # one RTT
         i[~ok] = -1
         return self._finish(d, i, k)
 

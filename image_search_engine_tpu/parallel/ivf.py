@@ -189,7 +189,7 @@ class ShardedIVF:
             out_specs=(P(), P()),
             check_vma=False,
         )
-        d, i = f(q, self.bucket_centroids, self.rows, self.lists)
+        d, i = jax.device_get(f(q, self.bucket_centroids, self.rows, self.lists))
         return self._finish(np.array(d), np.array(i), k)
 
 
@@ -359,6 +359,7 @@ class ShardedIVFPQ(ShardedIVF):
             out_specs=(P(), P()),
             check_vma=False,
         )
-        dd, ii = f(q, self.bucket_centroids, self.lists, self.packed_codes,
-                   self.pq_books)
+        dd, ii = jax.device_get(
+            f(q, self.bucket_centroids, self.lists, self.packed_codes,
+              self.pq_books))
         return self._finish(np.array(dd), np.array(ii), k)
