@@ -118,6 +118,9 @@ class Config:
     ivf_nprobe: int = 5  # reference utils.py:324
     pq_m: int = 16  # subquantizers (reference utils.py:318)
     pq_nbits: int = 8
+    pq_rerank: int = 0  # exact-rerank shortlist (0 = ADC ranking only;
+    # >0 keeps raw vectors in the artifact so the shortlist can be
+    # re-scored exactly — faiss IndexRefineFlat composition)
 
     # --- cluster-quality scoring (reference utils.py:235-290) ---------------
     cluster_score_sample_size: int = 2000
@@ -195,5 +198,7 @@ class Config:
             kw["store_dtype"] = dt
         if "ISE_TORCH_WEIGHTS" in env:
             kw["torch_weights"] = Path(env["ISE_TORCH_WEIGHTS"])
+        if "ISE_PQ_RERANK" in env:
+            kw["pq_rerank"] = int(env["ISE_PQ_RERANK"])
         kw.update(overrides)
         return cls(**kw)

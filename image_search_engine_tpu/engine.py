@@ -410,6 +410,13 @@ class QueryEngine:
                 # + replicated books (round 1 silently rebuilt a raw-vector
                 # ShardedIVF here — dropping PQ's whole point — or, for a
                 # codes-only artifact, silently ignored the mesh)
+                if index.rerank:
+                    log.warning(
+                        "ivfpq rerank=%d is single-chip only; the sharded "
+                        "index serves ADC ranking (per-shard raw vectors "
+                        "would defeat the compression sharding preserves)",
+                        index.rerank,
+                    )
                 return ShardedIVFPQ.from_index(index, mesh)
             return index
         if cfg.index_type == IndexType.CELL_PROBE:

@@ -328,10 +328,13 @@ class IVFIndex:
         return self
 
 
-@functools.partial(jax.jit, static_argnames=("k", "nprobe", "max_list", "m"))
+@functools.partial(
+    jax.jit, static_argnames=("k", "nprobe", "max_list", "m", "rerank")
+)
 def _ivfpq_search_kernel(
     q, centroids, lists, list_valid, packed_codes, pq_books,
     k: int, nprobe: int, max_list: int, m: int,
+    rerank: int = 0, packed_raw=None, packed_norms=None,
 ):
     """ADC scan: LUT of query-residual-to-codeword distances, summed per
     candidate via per-subspace one-hot einsums in bfloat16 — the lookup
@@ -388,10 +391,85 @@ def _ivfpq_search_kernel(
     dist = jnp.concatenate(dists, axis=1)
     cand = jnp.concatenate(cands, axis=1)
     valid = jnp.concatenate(valids, axis=1)
+
+    if rerank:
+        # Refine stage (the faiss IndexRefineFlat composition): ADC ranks
+        # a top-``rerank`` shortlist, then the true distances are computed
+        # from the raw packed table and the final top-k is exact over the
+        # store. PQ noise then only has to keep true neighbors inside the
+        # shortlist, not rank them — which is what it is actually good at.
+        _, pos = jax.lax.top_k(-dist, rerank)  # (Q, C)
+        cell = jnp.take_along_axis(probe, pos // max_list, axis=1)  # (Q, C)
+        slot = pos % max_list
+        rows = packed_raw[cell, slot]  # (Q, C, d) row gather
+        rn = packed_norms[cell, slot]  # +inf at pad slots
+        qn = jnp.sum(q * q, axis=1, keepdims=True)
+        cross = jnp.einsum("qd,qcd->qc", q.astype(rows.dtype), rows,
+                           preferred_element_type=jnp.float32)
+        dist = qn - 2.0 * cross + rn
+        cand = jnp.take_along_axis(cand, pos, axis=1)
+        valid = jnp.take_along_axis(valid, pos, axis=1)
+        dist = jnp.where(valid, dist, jnp.inf)
+
     vals, pos = jax.lax.top_k(-dist, k)
     ids = jnp.take_along_axis(cand, pos, axis=1)
     ok = jnp.take_along_axis(valid, pos, axis=1)
     return -vals, ids, ok
+
+
+@functools.partial(jax.jit, static_argnames=("m", "chunk"))
+def _pq_reconstruct_table(packed_codes, pq_books, bucket_centroids,
+                          list_valid, m: int, chunk: int = 32):
+    """Decompress list-contiguous PQ codes into a bf16 (nbuckets, cap, d)
+    reconstruction table: recon[b, l] = cell_centroid[b] + concat_m
+    books[m, codes[b, l, m]]. Because the subspaces are an orthogonal
+    decomposition, squared-L2 to the reconstruction IS the ADC distance
+    (sum of per-subspace LUT entries) — so scanning this table gives PQ
+    semantics at raw-IVF scan speed.
+
+    The codeword lookup is a one-hot MXU matmul per subspace (TPU gathers
+    are the pathology — see _ivfpq_search_kernel's measurements), chunked
+    over buckets with lax.map so the one-hot transient stays
+    (chunk*cap, 256) bf16. Output is bf16: the table is a transient
+    (rebuilt per batched dispatch); the artifact still stores only codes.
+    """
+    nb, cap, _ = packed_codes.shape
+    k256, dsub = pq_books.shape[1], pq_books.shape[2]
+    books_bf = pq_books.astype(jnp.bfloat16)
+    nbp = _round_up(nb, chunk)
+    codes = jnp.pad(packed_codes, ((0, nbp - nb), (0, 0), (0, 0)))
+
+    def do_chunk(codes_c):  # (chunk, cap, m) int32
+        flat = codes_c.reshape(chunk * cap, m)
+        parts = []
+        for mm in range(m):
+            oh = jax.nn.one_hot(flat[:, mm], k256, dtype=jnp.bfloat16)
+            parts.append(jnp.dot(oh, books_bf[mm],
+                                 preferred_element_type=jnp.float32))
+        return jnp.concatenate(parts, axis=1).reshape(chunk, cap, m * dsub)
+
+    recon = jax.lax.map(do_chunk, codes.reshape(nbp // chunk, chunk, cap, m))
+    recon = recon.reshape(nbp, cap, m * dsub)[:nb]
+    recon = (recon + bucket_centroids[:, None, :]).astype(jnp.bfloat16)
+    norms = jnp.sum(jnp.square(recon.astype(jnp.float32)), axis=-1)
+    norms = jnp.where(list_valid, norms, jnp.inf)
+    return recon, norms
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _exact_rescore(q, vectors, ids, ok, k: int):
+    """Refine a candidate shortlist against the raw (N, d) store: exact
+    distances, final top-k. Runs as a second device program after the
+    probed scan (no host round-trip in between)."""
+    rows = vectors[jnp.maximum(ids, 0)]  # (Q, C, d)
+    qn = jnp.sum(q * q, axis=1, keepdims=True)
+    cross = jnp.einsum("qd,qcd->qc", q, rows,
+                       preferred_element_type=jnp.float32)
+    rn = jnp.sum(rows * rows, axis=-1)
+    dist = jnp.where(ok, qn - 2.0 * cross + rn, jnp.inf)
+    vals, pos = jax.lax.top_k(-dist, k)
+    return (-vals, jnp.take_along_axis(ids, pos, axis=1),
+            jnp.take_along_axis(ok, pos, axis=1))
 
 
 class IVFPQIndex(IVFIndex):
@@ -402,9 +480,14 @@ class IVFPQIndex(IVFIndex):
     metric_kind = "ivfpq"
 
     def __init__(self, metric: str = "l2", nlist: int = 8, nprobe: int = 5,
-                 m: int = 16, mesh: Optional[Mesh] = None, seed: int = 42):
+                 m: int = 16, mesh: Optional[Mesh] = None, seed: int = 42,
+                 rerank: int = 0):
         super().__init__(metric=metric, nlist=nlist, nprobe=nprobe, mesh=mesh, seed=seed)
         self.m = m
+        # default exact-rerank shortlist size (0 = ADC ranking only);
+        # rerank needs the raw vectors (add() keeps them; codes-only
+        # artifacts cannot rerank — save(store_raw=True) to preserve)
+        self.rerank = rerank
         self.pq_books: Optional[np.ndarray] = None  # (m, 256, dsub)
         self.codes: Optional[np.ndarray] = None  # (N, m) uint8
         self._ntotal: Optional[int] = None  # set when loaded without raw vectors
@@ -446,6 +529,7 @@ class IVFPQIndex(IVFIndex):
         self.packed_codes = self.codes.astype(np.int32)[np.maximum(self.lists, 0)]
         self.packed_codes[~self.list_valid] = 0
         self._dev_pq = None
+        self._dev_raw = None
 
     def _device_arrays_pq(self):
         if getattr(self, "_dev_pq", None) is None:
@@ -456,21 +540,78 @@ class IVFPQIndex(IVFIndex):
             )
         return self._dev_pq
 
-    def search_batched(self, q: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
-        """ADC already handles batches (O(Q*L*m) memory since the gather
-        rewrite); the raw-vector probed-scan kernel would silently score
-        uncompressed vectors, which is not what a PQ index promises."""
-        return self.search(q, k)
-
-    def search(self, q: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+    def search_batched(self, q: np.ndarray, k: int,
+                       rerank: Optional[int] = None) -> Tuple[np.ndarray, np.ndarray]:
+        """Batch-throughput PQ search: decompress the codes into a bf16
+        reconstruction table on device (_pq_reconstruct_table — ADC
+        semantics exactly, see its docstring), then the fused probed-scan
+        Pallas kernel (ops/ivf_pallas) scores it like a raw IVF table.
+        Results match ``search`` up to bf16 rounding of the
+        reconstruction; the table is a per-dispatch transient, so resting
+        memory stays codes-only. With ``rerank`` the shortlist is then
+        re-scored exactly from the raw vectors (same dispatch chain, no
+        intermediate readback)."""
         assert self.codes is not None, "add() first"
+        from image_search_engine_tpu.ops.ivf_pallas import ivf_probed_topk
+
+        rerank = self.rerank if rerank is None else rerank
         q = self._prep(np.atleast_2d(np.asarray(q, np.float32)))
         nprobe = self._effective_nprobe()
-        k_eff = min(k, self.ntotal, nprobe * self.lists.shape[1])
+        pool = nprobe * self.lists.shape[1]
+        k_eff = min(k, self.ntotal, pool)
         bcents, lists, valid, pcodes, books = self._device_arrays_pq()
+        recon, norms = _pq_reconstruct_table(pcodes, books, bcents, valid, self.m)
+        if rerank:
+            if self.vectors is None:
+                raise ValueError(
+                    "rerank needs raw vectors; this index holds codes only "
+                    "(rebuild or save(store_raw=True))"
+                )
+            c_eff = min(max(rerank, k_eff), pool)
+            qd = jnp.asarray(q)
+            out = ivf_probed_topk(qd, bcents, recon, norms, lists, c_eff, nprobe)
+            out = _exact_rescore(qd, self._device_raw(), out[1], out[2], k_eff)
+        else:
+            out = ivf_probed_topk(jnp.asarray(q), bcents, recon, norms, lists,
+                                  k_eff, nprobe)
+        d, i, ok = (np.array(a) for a in jax.device_get(out))  # one RTT
+        i[~ok] = -1
+        return self._finish(d, i, k)
+
+    def _device_raw(self):
+        """Raw (N, d) f32 store on device, cached (rerank's rescore target)."""
+        if getattr(self, "_dev_raw", None) is None:
+            self._dev_raw = jnp.asarray(self.vectors)
+        return self._dev_raw
+
+    def search(self, q: np.ndarray, k: int,
+               rerank: Optional[int] = None) -> Tuple[np.ndarray, np.ndarray]:
+        """ADC scan; with ``rerank=C`` (or the constructor default) the
+        top-C ADC shortlist is re-scored EXACTLY from the raw vectors in
+        the same dispatch, so returned distances/ranks are exact over the
+        store (faiss's IndexRefineFlat composition over the reference's
+        cell-probe index, utils.py:311-325)."""
+        assert self.codes is not None, "add() first"
+        rerank = self.rerank if rerank is None else rerank
+        q = self._prep(np.atleast_2d(np.asarray(q, np.float32)))
+        nprobe = self._effective_nprobe()
+        pool = nprobe * self.lists.shape[1]
+        k_eff = min(k, self.ntotal, pool)
+        bcents, lists, valid, pcodes, books = self._device_arrays_pq()
+        raw = norms = None
+        c_eff = 0
+        if rerank:
+            if self.vectors is None:
+                raise ValueError(
+                    "rerank needs raw vectors; this index holds codes only "
+                    "(rebuild or save(store_raw=True))"
+                )
+            c_eff = min(max(rerank, k_eff), pool)
+            _, _, _, raw, norms = self._device_arrays()
         out = _ivfpq_search_kernel(
             jnp.asarray(q), bcents, lists, valid, pcodes, books,
             k_eff, nprobe, self.lists.shape[1], self.m,
+            rerank=c_eff, packed_raw=raw, packed_norms=norms,
         )
         d, i, ok = (np.array(a) for a in jax.device_get(out))  # one RTT
         i[~ok] = -1
@@ -485,7 +626,7 @@ class IVFPQIndex(IVFIndex):
             centroids=self.centroids, lists=self.lists, bucket_cell=self.bucket_cell,
             metric=np.array(self.metric), nprobe=np.int64(self.nprobe),
             kind=np.array(self.metric_kind), pq_books=self.pq_books, codes=self.codes,
-            ntotal=np.int64(self.ntotal),
+            ntotal=np.int64(self.ntotal), rerank=np.int64(self.rerank),
         )
         if store_raw:
             payload["vectors"] = self.vectors
@@ -495,7 +636,8 @@ class IVFPQIndex(IVFIndex):
     def load(cls, path: str | Path, mesh: Optional[Mesh] = None) -> "IVFPQIndex":
         z = np.load(path, allow_pickle=False)
         self = cls(metric=str(z["metric"]), nlist=z["centroids"].shape[0],
-                   nprobe=int(z["nprobe"]), m=z["codes"].shape[1], mesh=mesh)
+                   nprobe=int(z["nprobe"]), m=z["codes"].shape[1], mesh=mesh,
+                   rerank=int(z["rerank"]) if "rerank" in z.files else 0)
         self.vectors = z["vectors"] if "vectors" in z.files else None
         self._ntotal = int(z["ntotal"]) if "ntotal" in z.files else None
         self.centroids = z["centroids"]

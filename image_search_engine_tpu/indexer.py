@@ -69,7 +69,7 @@ def build_dnn_index(cfg: Config, paths, mesh=None, use_native: bool = False) -> 
             # m sub-quantizers x 8 bits over coarse residuals
             index = IVFPQIndex(
                 metric=metric, nlist=cfg.ivf_nlist, nprobe=cfg.ivf_nprobe,
-                m=cfg.pq_m, mesh=mesh,
+                m=cfg.pq_m, mesh=mesh, rerank=cfg.pq_rerank,
             ).add(feats)
         else:
             index = IVFIndex(
@@ -78,7 +78,12 @@ def build_dnn_index(cfg: Config, paths, mesh=None, use_native: bool = False) -> 
             ).add(feats)
     else:
         index = FlatIndex(metric, mesh=mesh, dtype=cfg.store_dtype).add(feats)
-    index.save(cfg.dnn_index_path)
+    if cfg.index_type == IndexType.IVFPQ:
+        # a rerank-enabled PQ artifact must carry the raw vectors the
+        # exact-rerank stage scores against
+        index.save(cfg.dnn_index_path, store_raw=cfg.pq_rerank > 0)
+    else:
+        index.save(cfg.dnn_index_path)
     save_paths_csv([paths[i] for i in kept], cfg.paths_file)
     _save_embedder_provenance(cfg)
     log.info("DNN index: %d vectors (%d-D) -> %s", len(kept), feats.shape[1], cfg.dnn_index_path)
@@ -219,6 +224,10 @@ def parse_args(argv=None):
                     help="flat-store precision (bf16/int8: 2x/4x smaller "
                          "index, recall ~0.994/~0.978 vs f32; throughput "
                          "within ~10% across precisions)")
+    ap.add_argument("--pq-rerank", type=int, default=0,
+                    help="ivfpq only: exact-rerank shortlist size (0 = ADC "
+                         "ranking; >0 stores raw vectors in the artifact and "
+                         "re-scores the top-C ADC shortlist exactly)")
     ap.add_argument("--native-loader", action="store_true",
                     help="decode+resize with the C++ loader (native/)")
     ap.add_argument("--no-thumbnails", action="store_true",
@@ -236,7 +245,7 @@ def parse_args(argv=None):
         corner_n_levels=a.corner_n_levels, corner_scale_step=a.corner_scale_step,
         embed_batch_size=a.batch_size, resize_size=a.resize_size,
         precompute_thumbnails=not a.no_thumbnails, store_dtype=a.store_dtype,
-        torch_weights=a.torch_weights,
+        torch_weights=a.torch_weights, pq_rerank=a.pq_rerank,
     ), a.native_loader
 
 

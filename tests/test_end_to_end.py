@@ -327,3 +327,27 @@ def test_engine_cell_probe_unsharded_fused(corpus_dir):
     pred = engine.query(img, k=3)
     assert pred[0][2] == engine.paths[0]
     assert pred[0][0] < 0.05
+
+
+def test_engine_ivfpq_rerank_serves_exact_distances(corpus_dir):
+    # --pq-rerank flow: the artifact keeps raw vectors, load restores the
+    # rerank default, and served results are exact-ranked over the store
+    # (the ADC shortlist is re-scored in the same dispatch)
+    from image_search_engine_tpu.index.ivf import IVFPQIndex
+    from image_search_engine_tpu.utils.imageio import load_image
+
+    cfg = _cfg(corpus_dir, method=Method.DNN, dnn_model=DnnModel.RESNET_TINY,
+               index_type=IndexType.IVFPQ, ivf_nlist=2, ivf_nprobe=2, pq_m=8,
+               pq_rerank=8)
+    indexer_main(cfg)
+    with np.load(cfg.dnn_index_path) as z:
+        assert "vectors" in z.files  # rerank artifact carries raw vectors
+
+    engine = QueryEngine(cfg)
+    assert isinstance(engine.index, IVFPQIndex)
+    assert engine.index.rerank == 8
+
+    img = load_image(engine.paths[0])
+    pred = engine.query(img, k=3)
+    assert pred[0][2] == engine.paths[0]  # exact rerank: self-match on top
+    assert pred[0][0] < 0.05  # true (non-ADC) distance for the self-match

@@ -296,3 +296,80 @@ def test_ivf_incremental_add_keeps_centroids(corpus, rng):
     _, fi = flat.search(q, 10)
     _, ii = ivf.search(q, 10)
     assert recall_at_k(np.asarray(ii), fi) >= 0.95
+
+
+def test_ivfpq_rerank_full_pool_matches_raw_ivf(corpus):
+    # rerank over the ENTIRE probed pool == the raw-vector probed scan:
+    # same probes, exact scoring over the store (the refine stage's
+    # correctness oracle, mirroring faiss IndexRefineFlat semantics)
+    x, q = corpus
+    pq = IVFPQIndex(nlist=8, nprobe=4, m=8, seed=42).add(x)
+    ivf = IVFIndex(nlist=8, nprobe=4, seed=42).add(x)
+    pool = pq._effective_nprobe() * pq.lists.shape[1]
+    d_rr, i_rr = pq.search(q, 10, rerank=pool)
+    d_raw, i_raw = ivf.search(q, 10)
+    np.testing.assert_array_equal(i_rr, i_raw)
+    np.testing.assert_allclose(d_rr, d_raw, rtol=1e-3, atol=1e-3)
+
+
+def test_ivfpq_rerank_improves_recall_and_is_exact(corpus):
+    x, q = corpus
+    pq = IVFPQIndex(nlist=8, nprobe=8, m=4).add(x)  # coarse PQ: lossy ranks
+    flat = FlatIndex("l2").add(x)
+    _, if_ = flat.search(q, 10)
+    _, i_adc = pq.search(q, 10)
+    d_rr, i_rr = pq.search(q, 10, rerank=100)
+    assert recall_at_k(i_rr, if_) >= recall_at_k(i_adc, if_)
+    assert recall_at_k(i_rr, if_) >= 0.95
+    # returned distances are exact over the store, not ADC estimates
+    d2 = ((q[:, None] - x[None]) ** 2).sum(-1)
+    np.testing.assert_allclose(
+        d_rr, np.take_along_axis(d2, i_rr, 1), rtol=1e-3, atol=1e-2)
+
+
+def test_ivfpq_rerank_persists_and_codes_only_raises(corpus, tmp_path):
+    x, q = corpus
+    pq = IVFPQIndex(nlist=8, nprobe=4, m=8, rerank=64).add(x)
+    p_raw = tmp_path / "pq_raw.npz"
+    pq.save(p_raw, store_raw=True)
+    pq2 = IVFPQIndex.load(p_raw)
+    assert pq2.rerank == 64  # constructor default round-trips
+    d1, i1 = pq.search(q, 5)  # uses self.rerank
+    d2, i2 = pq2.search(q, 5)
+    np.testing.assert_array_equal(i1, i2)
+
+    p_codes = tmp_path / "pq_codes.npz"
+    pq.save(p_codes)  # default: codes only
+    pq3 = IVFPQIndex.load(p_codes)
+    with pytest.raises(ValueError, match="raw vectors"):
+        pq3.search(q, 5, rerank=32)
+    pq3.search(q, 5, rerank=0)  # ADC-only still works
+
+
+def test_ivfpq_batched_matches_adc(corpus):
+    # the reconstruction-scan path scores the SAME quantity ADC does
+    # (residual-PQ ADC distance == distance to the reconstruction), so
+    # top-k sets should agree up to bf16 rounding of the reconstruction
+    x, q = corpus
+    pq = IVFPQIndex(nlist=8, nprobe=4, m=8).add(x)
+    d_adc, i_adc = pq.search(q, 10)
+    d_b, i_b = pq.search_batched(q, 10)
+    overlap = np.mean([len(set(a.tolist()) & set(b.tolist())) / 10
+                       for a, b in zip(i_adc, i_b)])
+    assert overlap >= 0.9
+    same = i_adc == i_b
+    rel = np.abs(d_adc - d_b)[same] / np.maximum(d_adc[same], 1e-9)
+    assert np.median(rel) < 0.02  # bf16 table rounding, not a scoring bug
+
+
+def test_ivfpq_batched_rerank_exact_over_store(corpus):
+    x, q = corpus
+    pq = IVFPQIndex(nlist=8, nprobe=4, m=8).add(x)
+    d_r, i_r = pq.search_batched(q, 10, rerank=64)
+    d2 = ((q[:, None] - x[None]) ** 2).sum(-1)
+    np.testing.assert_allclose(
+        d_r, np.take_along_axis(d2, i_r, 1), rtol=1e-3, atol=1e-2)
+    _, i_adc = pq.search_batched(q, 10)
+    flat = FlatIndex("l2").add(x)
+    _, if_ = flat.search(q, 10)
+    assert recall_at_k(i_r, if_) >= recall_at_k(i_adc, if_)
