@@ -96,6 +96,20 @@ def main():
     brec1 = float(np.mean(bi[:, 0] == ei[:, 0]))
     print(f"recon-scan recall@1: {brec1:.3f}", flush=True)
 
+    # serving mode: reconstruction table cached across dispatches
+    # (recon_cache=True) — decompress paid once, scans at raw-IVF speed
+    pq.recon_cache = True
+    for name, qs in (("Q=256", q), ("Q=1024", qbig)):
+        d, ci = pq.search_batched(qs, K)  # compile + populate cache
+        t0 = time.time()
+        for _ in range(5):
+            d, ci = pq.search_batched(qs, K)
+        el = (time.time() - t0) / 5
+        print(f"recon-cache batched {name}: {el*1e3:.1f} ms/batch -> "
+              f"{len(qs)/el:.0f} QPS", flush=True)
+    pq.recon_cache = False
+    pq._recon_tab = None
+
     # exact-rerank refine stage: ADC shortlist -> raw-vector rescore.
     # On this tie-heavy corpus this is the measurement that separates
     # "PQ lost the neighbor" from "PQ re-ranked a tie": reranked results

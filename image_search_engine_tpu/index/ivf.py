@@ -419,7 +419,7 @@ def _ivfpq_search_kernel(
 
 @functools.partial(jax.jit, static_argnames=("m", "chunk"))
 def _pq_reconstruct_table(packed_codes, pq_books, bucket_centroids,
-                          list_valid, m: int, chunk: int = 32):
+                          list_valid, m: int, chunk: int = 128):
     """Decompress list-contiguous PQ codes into a bf16 (nbuckets, cap, d)
     reconstruction table: recon[b, l] = cell_centroid[b] + concat_m
     books[m, codes[b, l, m]]. Because the subspaces are an orthogonal
@@ -432,6 +432,12 @@ def _pq_reconstruct_table(packed_codes, pq_books, bucket_centroids,
     over buckets with lax.map so the one-hot transient stays
     (chunk*cap, 256) bf16. Output is bf16: the table is a transient
     (rebuilt per batched dispatch); the artifact still stores only codes.
+
+    Operating point (1M/m=16, /tmp-microbench logged in BENCH_NOTES):
+    chunk=128 -> 27.9 ms vs 83 ms at chunk=32 (lax.map per-step overhead)
+    and ~185 ms for a block-diagonal (n, m*256)x(m*256, d) single-matmul
+    variant (negative result: the combined one-hot transient doesn't fuse
+    and the 16x FLOP inflation isn't free).
     """
     nb, cap, _ = packed_codes.shape
     k256, dsub = pq_books.shape[1], pq_books.shape[2]
@@ -481,13 +487,18 @@ class IVFPQIndex(IVFIndex):
 
     def __init__(self, metric: str = "l2", nlist: int = 8, nprobe: int = 5,
                  m: int = 16, mesh: Optional[Mesh] = None, seed: int = 42,
-                 rerank: int = 0):
+                 rerank: int = 0, recon_cache: bool = False):
         super().__init__(metric=metric, nlist=nlist, nprobe=nprobe, mesh=mesh, seed=seed)
         self.m = m
         # default exact-rerank shortlist size (0 = ADC ranking only);
         # rerank needs the raw vectors (add() keeps them; codes-only
         # artifacts cannot rerank — save(store_raw=True) to preserve)
         self.rerank = rerank
+        # serving-throughput mode: keep the bf16 reconstruction table
+        # resident between search_batched dispatches (N*d*2 bytes HBM)
+        # instead of decompressing per dispatch (~83 ms at 1M/m=16) —
+        # the artifact on disk stays codes-only either way
+        self.recon_cache = recon_cache
         self.pq_books: Optional[np.ndarray] = None  # (m, 256, dsub)
         self.codes: Optional[np.ndarray] = None  # (N, m) uint8
         self._ntotal: Optional[int] = None  # set when loaded without raw vectors
@@ -530,6 +541,7 @@ class IVFPQIndex(IVFIndex):
         self.packed_codes[~self.list_valid] = 0
         self._dev_pq = None
         self._dev_raw = None
+        self._recon_tab = None
 
     def _device_arrays_pq(self):
         if getattr(self, "_dev_pq", None) is None:
@@ -560,7 +572,13 @@ class IVFPQIndex(IVFIndex):
         pool = nprobe * self.lists.shape[1]
         k_eff = min(k, self.ntotal, pool)
         bcents, lists, valid, pcodes, books = self._device_arrays_pq()
-        recon, norms = _pq_reconstruct_table(pcodes, books, bcents, valid, self.m)
+        if self.recon_cache and getattr(self, "_recon_tab", None) is not None:
+            recon, norms = self._recon_tab
+        else:
+            recon, norms = _pq_reconstruct_table(pcodes, books, bcents, valid,
+                                                 self.m)
+            if self.recon_cache:
+                self._recon_tab = (recon, norms)
         if rerank:
             if self.vectors is None:
                 raise ValueError(

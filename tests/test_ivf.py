@@ -362,6 +362,26 @@ def test_ivfpq_batched_matches_adc(corpus):
     assert np.median(rel) < 0.02  # bf16 table rounding, not a scoring bug
 
 
+def test_ivfpq_recon_cache_matches_and_invalidates(corpus):
+    # recon_cache=True keeps the bf16 reconstruction table resident
+    # between search_batched dispatches; results must be IDENTICAL to the
+    # per-dispatch-decompress path, and add() must invalidate the cache.
+    x, q = corpus
+    pq = IVFPQIndex(nlist=8, nprobe=4, m=8, recon_cache=True).add(x)
+    d1, i1 = pq.search_batched(q, 10)
+    assert pq._recon_tab is not None  # cache populated
+    d2, i2 = pq.search_batched(q, 10)  # served from cache
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_array_equal(d1, d2)
+    ref = IVFPQIndex(nlist=8, nprobe=4, m=8).add(x)
+    d0, i0 = ref.search_batched(q, 10)
+    np.testing.assert_array_equal(i1, i0)
+    pq.add(x[:32])  # mutation -> cache dropped, rebuilt next dispatch
+    assert pq._recon_tab is None
+    pq.search_batched(q, 5)
+    assert pq._recon_tab is not None
+
+
 def test_ivfpq_batched_rerank_exact_over_store(corpus):
     x, q = corpus
     pq = IVFPQIndex(nlist=8, nprobe=4, m=8).add(x)
