@@ -56,9 +56,22 @@ def assign_jax(x: jnp.ndarray, centroids: jnp.ndarray) -> Tuple[jnp.ndarray, jnp
 
 
 def _update(x, codes, k, prev_centroids):
-    """Centroid update: mean of assigned points; empty clusters keep prev."""
-    sums = jax.ops.segment_sum(x, codes, num_segments=k)
-    counts = jax.ops.segment_sum(jnp.ones((x.shape[0],), x.dtype), codes, num_segments=k)
+    """Centroid update: mean of assigned points; empty clusters keep prev.
+
+    Accumulates via a one-hot MXU matmul rather than segment_sum: TPU
+    scatter-add serializes (~10.6 of the 16.9 ms/iter at 1M x 128,
+    k=512), while the (N, k) one-hot einsum rides the systolic array —
+    whole Lloyd step 3.3 ms/iter, 5x (BENCH_NOTES "Codebook training").
+    Stats stay f32: the step is bound on streaming x from HBM, so bf16
+    one-hots measured the same speed (5.0 vs 5.1 ms/iter at k=1024) and
+    f32 keeps segment_sum-level precision (sums differ only in summation
+    order; counts exact to 2^24 rows/cluster). Same stat shape as the
+    distributed trainer's psum partials (parallel/kmeans.py:55-59).
+    """
+    oh = jax.nn.one_hot(codes, k, dtype=jnp.float32)
+    sums = jnp.einsum("nk,nd->kd", oh, x,
+                      preferred_element_type=jnp.float32)
+    counts = jnp.einsum("nk->k", oh)
     new = sums / jnp.maximum(counts, 1.0)[:, None]
     return jnp.where(counts[:, None] > 0, new, prev_centroids), counts
 
@@ -176,10 +189,16 @@ def subspace_kmeans(
                 sums, counts = carry
                 xcb, vb = inp
                 codes, _ = assign_jax(xcb, c)
-                codes = jnp.where(vb, codes, k)  # pads -> dropped segment
-                sums = sums + jax.ops.segment_sum(xcb, codes, num_segments=k + 1)[:k]
-                counts = counts + jax.ops.segment_sum(
-                    vb.astype(jnp.float32), codes, num_segments=k + 1)[:k]
+                # one-hot matmul accumulation (see _update: TPU
+                # scatter-add serializes; the MXU einsum doesn't) —
+                # pad rows contribute a zero one-hot row instead of a
+                # sentinel segment
+                oh = jax.nn.one_hot(codes, k, dtype=jnp.float32)
+                oh = oh * vb[:, None].astype(jnp.float32)
+                sums = sums + jnp.einsum(
+                    "nk,nd->kd", oh, xcb,
+                    preferred_element_type=jnp.float32)
+                counts = counts + jnp.einsum("nk->k", oh)
                 return (sums, counts), None
 
             (sums, counts), _ = jax.lax.scan(
