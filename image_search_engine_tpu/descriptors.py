@@ -31,6 +31,7 @@ from image_search_engine_tpu.ops.image_ops import (
     hsv_histogram_3d,
     rgb_to_gray,
     rgb_to_hsv,
+    to_unit_f32,
 )
 from image_search_engine_tpu.utils.imageio import load_images_batched
 
@@ -62,7 +63,7 @@ class CornerDescriptor:
         self.scale_step = scale_step
 
     def describe_batch(self, images):
-        gray = rgb_to_gray(jnp.asarray(images, jnp.float32))
+        gray = rgb_to_gray(to_unit_f32(jnp.asarray(images)))
         d, valid = corner_ops.detect_and_describe(
             gray, self.kind, self.max_keypoints,
             n_levels=self.n_levels, scale_step=self.scale_step,
@@ -81,7 +82,7 @@ class DaisyDescriptor:
                        histograms=histograms, orientations=orientations)
 
     def describe_batch(self, images):
-        gray = rgb_to_gray(jnp.asarray(images, jnp.float32))
+        gray = rgb_to_gray(to_unit_f32(jnp.asarray(images)))
         d = daisy(gray, **self.kw)
         d = np.asarray(d)
         valid = np.ones(d.shape[:2], bool)
@@ -97,7 +98,7 @@ class HOGDescriptor:
         self.kw = dict(orientations=orientations, cell_size=cell_size, block_size=block_size)
 
     def describe_batch(self, images):
-        gray = rgb_to_gray(jnp.asarray(images, jnp.float32))
+        gray = rgb_to_gray(to_unit_f32(jnp.asarray(images)))
         return np.asarray(hog(gray, **self.kw)), None
 
 
@@ -111,7 +112,7 @@ class ColorDescriptor:
         self.bins = tuple(bins)
 
     def describe_batch(self, images):
-        images = jnp.asarray(images, jnp.float32)
+        images = to_unit_f32(jnp.asarray(images))
         hsv = rgb_to_hsv(images)
         h, w = images.shape[1:3]
         masks = five_region_masks(h, w)  # (5, H, W)
@@ -131,7 +132,7 @@ class DHashDescriptor:
     is_set = False
 
     def describe_batch(self, images):
-        gray = rgb_to_gray(jnp.asarray(images, jnp.float32))
+        gray = rgb_to_gray(to_unit_f32(jnp.asarray(images)))
         return np.asarray(dhash_bits(gray)).astype(np.float32), None
 
 

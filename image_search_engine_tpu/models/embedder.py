@@ -23,7 +23,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from image_search_engine_tpu.models.bit import BiT50, BiTTiny
 from image_search_engine_tpu.models.densenet import DenseNet121, DenseNetTiny
 from image_search_engine_tpu.models.resnet import ResNet18Thin, ResNet50
-from image_search_engine_tpu.ops.image_ops import preprocess_for_cnn
+from image_search_engine_tpu.ops.image_ops import preprocess_for_cnn, to_unit_f32
 
 # name -> (ctor, embedding dim, input normalization). BiT uses HF
 # BitImageProcessor's (x-0.5)/0.5; torchvision backbones use ImageNet
@@ -88,7 +88,9 @@ class CNNEmbedder:
 
         @jax.jit
         def _forward(params, batch_stats, images):
-            x = preprocess_for_cnn(images, self.image_size, norm=self.norm_name)
+            # uint8 batches upload 4x fewer bytes and cast here, on device
+            x = preprocess_for_cnn(to_unit_f32(images), self.image_size,
+                                   norm=self.norm_name)
             variables = {"params": params}
             if batch_stats is not None:
                 variables["batch_stats"] = batch_stats
@@ -98,10 +100,11 @@ class CNNEmbedder:
 
     # -- embedding ----------------------------------------------------------
     def embed_batch(self, images: np.ndarray) -> np.ndarray:
-        """(B, H, W, 3) float [0,1] or uint8 -> (B, D) f32 embeddings."""
+        """(B, H, W, 3) float [0,1] or uint8 -> (B, D) f32 embeddings.
+
+        uint8 input is uploaded as-is (4x fewer bytes than f32) and cast
+        to [0,1] on device inside the jitted forward."""
         images = np.asarray(images)
-        if images.dtype == np.uint8:
-            images = images.astype(np.float32) / 255.0
         b = images.shape[0]
         bs = self.batch_size
         out = np.empty((b, self.dim), np.float32)
@@ -110,7 +113,7 @@ class CNNEmbedder:
             pad = bs - chunk.shape[0]
             if pad:
                 chunk = np.concatenate([chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
-            x = jnp.asarray(chunk, jnp.float32)
+            x = jnp.asarray(chunk)
             if self.mesh is not None:
                 x = jax.device_put(x, NamedSharding(self.mesh, P(self.axis)))
             emb = self._forward(self.params, self.batch_stats, x)

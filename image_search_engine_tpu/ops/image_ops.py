@@ -8,7 +8,10 @@ XLA program instead of one image at a time on the CPU.
 
 Convention: images are float32 RGB in [0, 1], shape (H, W, 3) or batched
 (B, H, W, 3). (The reference uses OpenCV's BGR uint8; host-side decode in
-utils/imageio.py hands us RGB floats.)
+utils/imageio.py hands us RGB floats.) The batched corpus-loading path may
+instead hand uint8 [0, 255] straight through — ``to_unit_f32`` is the
+single entry cast, and running it on device means host->device transfers
+move 4x fewer bytes than uploading pre-divided float32.
 """
 
 from __future__ import annotations
@@ -23,6 +26,19 @@ import jax.numpy as jnp
 # Normalize defaults (descriptors.py:156-158).
 IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def to_unit_f32(img: jnp.ndarray) -> jnp.ndarray:
+    """uint8 [0,255] or float [0,1] -> float32 [0,1].
+
+    Every image entry point accepts either dtype; keeping the corpus
+    uint8 until this (device-side) cast quarters the upload volume. The
+    uint8/255 result is bit-identical to the PIL host path's
+    ``np.float32(im)/255`` — no quality drift between the two routes.
+    """
+    if img.dtype == jnp.uint8:
+        return img.astype(jnp.float32) / jnp.float32(255.0)
+    return img.astype(jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("height", "width", "method"))

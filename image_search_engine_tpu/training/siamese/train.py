@@ -164,8 +164,13 @@ class Trainer:
 
         @jax.jit
         def embed_fn(params, batch_stats, x):
+            from image_search_engine_tpu.ops.image_ops import to_unit_f32
+
+            # corpus batches may arrive uint8 (4x lighter upload); cast on
+            # device — f32 [0,1] input passes through unchanged
             return model.apply(
-                {"params": params, "batch_stats": batch_stats}, x, train=False
+                {"params": params, "batch_stats": batch_stats},
+                to_unit_f32(x), train=False
             )
 
         self._train_step = train_step
@@ -311,7 +316,7 @@ class Trainer:
             pad = batch_size - chunk.shape[0]
             if pad:
                 chunk = np.concatenate([chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
-            emb = fwd(self.params, self.batch_stats, jnp.asarray(chunk, jnp.float32))
+            emb = fwd(self.params, self.batch_stats, jnp.asarray(chunk))
             out.append(np.asarray(emb)[: batch_size - pad if pad else batch_size])
         return np.concatenate(out)
 

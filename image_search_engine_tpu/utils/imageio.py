@@ -39,11 +39,18 @@ def get_image_paths(folder: str | Path, extensions: Sequence[str] = IMAGE_EXTENS
 def load_image(path: str | Path, size: Optional[Tuple[int, int]] = None) -> np.ndarray:
     """Decode one image to RGB float32 [0,1]; optional (H, W) host resize
     (cheap PIL bilinear — the quality-critical resize happens on device)."""
+    return load_image_u8(path, size).astype(np.float32) / 255.0
+
+
+def load_image_u8(path: str | Path, size: Optional[Tuple[int, int]] = None) -> np.ndarray:
+    """Decode one image to RGB uint8 [0,255] (the corpus-loading dtype:
+    batches stay uint8 on the host and cast to [0,1] f32 on device —
+    ops/image_ops.to_unit_f32 — so uploads move 4x fewer bytes)."""
     with Image.open(path) as im:
         im = im.convert("RGB")
         if size is not None:
             im = im.resize((size[1], size[0]), Image.BILINEAR)
-        return np.asarray(im, np.float32) / 255.0
+        return np.asarray(im, np.uint8)
 
 
 def decode_image_bytes(data: bytes, size: Optional[Tuple[int, int]] = None) -> np.ndarray:
@@ -63,24 +70,35 @@ def load_images_batched(
     num_workers: int = 8,
     skip_errors: bool = True,
     use_native: bool = False,
+    dtype: str = "u8",
 ) -> Iterator[Tuple[np.ndarray, List[int]]]:
-    """Yield (batch (B, H, W, 3) f32, kept source indices).
+    """Yield (batch (B, H, W, 3), kept source indices).
 
     Decoding runs in a thread pool that stays ahead of the consumer;
     unreadable files are skipped with a warning (the reference's per-image
     try/except skip, descriptors.py:81-96). ``use_native=True`` routes
     decode+resize through the C++ loader (native/, GIL-free threads) with
     per-file PIL fallback for formats it doesn't handle.
+
+    ``dtype="u8"`` (default) yields uint8 [0,255] batches — every device
+    entry point casts via ops/image_ops.to_unit_f32, so host->device
+    uploads move 4x fewer bytes than pre-divided f32. ``dtype="f32"``
+    yields float32 [0,1] (identical values after the device cast).
     """
+    if dtype not in ("u8", "f32"):
+        raise ValueError(f"dtype must be 'u8' or 'f32', got {dtype!r}")
+    one = load_image_u8 if dtype == "u8" else load_image
     paths = list(paths)
 
     if use_native:
         from image_search_engine_tpu.utils import native_loader
 
         if native_loader.available():
+            nat = (native_loader.load_batch_u8 if dtype == "u8"
+                   else native_loader.load_batch)
             for s in range(0, len(paths), batch_size):
                 chunk = paths[s : s + batch_size]
-                batch, ok = native_loader.load_batch(chunk, size[0], size[1], num_workers)
+                batch, ok = nat(chunk, size[0], size[1], num_workers)
                 imgs, idx = [], []
                 for j, good in enumerate(ok):
                     if good:
@@ -88,7 +106,7 @@ def load_images_batched(
                         idx.append(s + j)
                         continue
                     try:  # fallback: e.g. progressive JPEG
-                        imgs.append(load_image(chunk[j], size))
+                        imgs.append(one(chunk[j], size))
                         idx.append(s + j)
                     except Exception as e:  # noqa: BLE001
                         if not skip_errors:
@@ -101,7 +119,7 @@ def load_images_batched(
 
     def _load(i: int):
         try:
-            return i, load_image(paths[i], size)
+            return i, one(paths[i], size)
         except Exception as e:  # noqa: BLE001 — any decode failure skips the file
             if not skip_errors:
                 raise

@@ -46,7 +46,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
     with _lock:
         if _lib is not None or _build_failed:
             return _lib
-        if not _LIB_PATH.exists() and not _build():
+        # run make even when the .so exists: it is timestamp-checked, so
+        # this is a no-op unless loader.cpp changed (stale-binary guard)
+        if not _build() and not _LIB_PATH.exists():
             _build_failed = True
             return None
         try:
@@ -70,6 +72,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.ise_load_batch.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+        ]
+        lib.ise_load_batch_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
         ]
         _lib = lib
@@ -130,6 +137,27 @@ def load_batch(
     lib.ise_load_batch(
         c_paths, n, height, width,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ok.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        n_threads,
+    )
+    return out, ok.astype(bool)
+
+
+def load_batch_u8(
+    paths: Sequence[str | Path], height: int, width: int, n_threads: int = 8
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Like ``load_batch`` but keeps pixels uint8 ((n, H, W, 3), rounded
+    post-resize) so the device upload moves 4x fewer bytes; the [0,1]
+    cast happens on device (ops/image_ops.to_unit_f32)."""
+    lib = get_lib()
+    assert lib is not None, "native loader unavailable"
+    n = len(paths)
+    out = np.zeros((n, height, width, 3), np.uint8)
+    ok = np.zeros((n,), np.uint8)
+    c_paths = (ctypes.c_char_p * n)(*[str(p).encode() for p in paths])
+    lib.ise_load_batch_u8(
+        c_paths, n, height, width,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         ok.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         n_threads,
     )

@@ -201,9 +201,14 @@ bool read_file(const char *path, std::vector<uint8_t> &buf) {
     return ok;
 }
 
-// bilinear resize u8 RGB -> f32 [0,1] (align-corners=false, matching
-// jax.image.resize/PIL semantics closely enough for feature stability)
-void resize_to_f32(const uint8_t *src, int sh, int sw, float *dst, int dh, int dw) {
+// bilinear resize u8 RGB (align-corners=false, matching
+// jax.image.resize/PIL semantics closely enough for feature stability).
+// Templated on the output writer: f32 [0,1] for the legacy batch API,
+// rounded u8 for the transfer-lean path (the [0,1] scaling then happens
+// on device — see ops/image_ops.to_unit_f32).
+template <typename WriteFn>
+void resize_bilinear(const uint8_t *src, int sh, int sw, int dh, int dw,
+                     WriteFn write) {
     for (int y = 0; y < dh; y++) {
         float fy = ((y + 0.5f) * sh / dh) - 0.5f;
         int y0 = (int)std::floor(fy);
@@ -223,10 +228,21 @@ void resize_to_f32(const uint8_t *src, int sh, int sw, float *dst, int dh, int d
                 float v11 = src[((size_t)y1c * sw + x1c) * 3 + c];
                 float v = v00 * (1 - wy) * (1 - wx) + v01 * (1 - wy) * wx +
                           v10 * wy * (1 - wx) + v11 * wy * wx;
-                dst[((size_t)y * dw + x) * 3 + c] = v / 255.0f;
+                write(((size_t)y * dw + x) * 3 + c, v);
             }
         }
     }
+}
+
+void resize_to_f32(const uint8_t *src, int sh, int sw, float *dst, int dh, int dw) {
+    resize_bilinear(src, sh, sw, dh, dw,
+                    [dst](size_t i, float v) { dst[i] = v / 255.0f; });
+}
+
+void resize_to_u8(const uint8_t *src, int sh, int sw, uint8_t *dst, int dh, int dw) {
+    resize_bilinear(src, sh, sw, dh, dw, [dst](size_t i, float v) {
+        dst[i] = (uint8_t)(v < 0.f ? 0.f : (v > 255.f ? 255.f : v + 0.5f));
+    });
 }
 
 }  // namespace
@@ -268,6 +284,30 @@ void ise_load_batch(const char **paths, int n, int H, int W, float *out,
             if (!read_file(paths[i], buf)) continue;
             if (!decode_any(buf.data(), (long)buf.size(), rgb, w, h)) continue;
             resize_to_f32(rgb.data(), h, w, out + (size_t)i * H * W * 3, H, W);
+            ok[i] = 1;
+        }
+    };
+    std::vector<std::thread> pool;
+    for (int t = 0; t < n_threads; t++) pool.emplace_back(work);
+    for (auto &t : pool) t.join();
+}
+
+// Same as ise_load_batch but keeps pixels uint8 (n, H, W, 3): the batched
+// indexing path uploads these straight to the device (4x fewer bytes) and
+// casts to [0,1] f32 there.
+void ise_load_batch_u8(const char **paths, int n, int H, int W, uint8_t *out,
+                       uint8_t *ok, int n_threads) {
+    std::atomic<int> next(0);
+    if (n_threads < 1) n_threads = 1;
+    auto work = [&]() {
+        std::vector<uint8_t> buf, rgb;
+        int i;
+        while ((i = next.fetch_add(1)) < n) {
+            ok[i] = 0;
+            int w = 0, h = 0;
+            if (!read_file(paths[i], buf)) continue;
+            if (!decode_any(buf.data(), (long)buf.size(), rgb, w, h)) continue;
+            resize_to_u8(rgb.data(), h, w, out + (size_t)i * H * W * 3, H, W);
             ok[i] = 1;
         }
     };

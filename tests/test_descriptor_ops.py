@@ -194,3 +194,18 @@ def test_multiscale_improves_scale_robustness(rng):
         return float(dist.min(axis=1).mean())
 
     assert mean_nn_dist(4) < mean_nn_dist(1)
+
+
+def test_describe_batch_uint8_matches_f32(rng):
+    """uint8 corpora cast on device (ops/image_ops.to_unit_f32); the
+    descriptors must not care which dtype arrived."""
+    from image_search_engine_tpu.descriptors import CornerDescriptor, DaisyDescriptor
+
+    u8 = rng.integers(0, 256, (2, 96, 96, 3), dtype=np.uint8)
+    f32 = u8.astype(np.float32) / 255.0
+    for desc in (CornerDescriptor("orb", 32, n_levels=2),
+                 DaisyDescriptor(step=32)):
+        du, vu = desc.describe_batch(u8)
+        df, vf = desc.describe_batch(f32)
+        np.testing.assert_allclose(du, df, rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(vu, vf)

@@ -87,3 +87,15 @@ def test_load_batch_parallel(rng, tmp_path):
     # resized content should correlate with a PIL resize
     want = np.asarray(Image.fromarray(arrs[0]).resize((32, 32), Image.BILINEAR), np.float32) / 255
     assert np.abs(out[0] - want).mean() < 0.03
+
+
+def test_load_batch_u8_matches_f32(rng, tmp_path):
+    paths = []
+    for i in range(4):
+        Image.fromarray(_img(rng, 40, 36)).save(tmp_path / f"u{i}.png")
+        paths.append(tmp_path / f"u{i}.png")
+    f32, ok_f = NL.load_batch(paths, 32, 32, n_threads=2)
+    u8, ok_u = NL.load_batch_u8(paths, 32, 32, n_threads=2)
+    assert u8.dtype == np.uint8 and ok_u.all() and ok_f.all()
+    # u8 is the f32 resize rounded to the nearest 1/255 step
+    assert np.abs(u8.astype(np.float32) / 255.0 - f32).max() <= 0.5 / 255 + 1e-6

@@ -73,8 +73,17 @@ def test_load_images_batched_native_matches_pil(rng, tmp_path):
                     + src[y1c][:, x1c] * wy * wx)
 
         want0 = bilinear(raw0, 32, 32)
-        nat0 = got_nat[0][0][0]
+        # default dtype="u8": quantized post-resize (±0.5/255 vs the formula)
+        nat0 = got_nat[0][0][0].astype(np.float32) / 255.0
+        assert got_nat[0][0].dtype == np.uint8
         assert np.abs(nat0 - want0).max() < 1e-2
+
+        got_f32 = list(load_images_batched(paths, 4, (32, 32),
+                                           use_native=True, dtype="f32"))
+        assert got_f32[0][0].dtype == np.float32
+        assert np.abs(got_f32[0][0][0] - want0).max() < 1e-2
+        # u8 and f32 routes agree to quantization error
+        assert np.abs(nat0 - got_f32[0][0][0]).max() <= (0.5 / 255) + 1e-6
 
 
 def test_orbax_pytree_roundtrip(rng, tmp_path):

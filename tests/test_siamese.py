@@ -245,3 +245,13 @@ def test_trainer_dp_sharded_step(card_corpus):
     gen = PairsGenerator.from_dir(cfg.train_dir, 8, cfg.image_size)
     out = tr.run(train_gen=gen, valid_gen=gen, epochs=1, steps_per_epoch=2, val_steps=1)
     assert np.isfinite(out["best_val"])
+
+
+def test_trainer_embed_uint8_matches_f32(card_corpus, rng):
+    """The corpus loader hands uint8 batches by default; Trainer.embed
+    must cast on device, not feed raw [0,255] into the backbone."""
+    tr = Trainer(_tiny_cfg(card_corpus))
+    u8 = rng.integers(0, 256, (3, 32, 32, 3), dtype=np.uint8)
+    a = tr.embed(u8, batch_size=4)
+    b = tr.embed(u8.astype(np.float32) / 255.0, batch_size=4)
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
