@@ -128,6 +128,39 @@ def main():
               f"{256/el:.0f} QPS; recall@10 {rrec:.3f}; recall@1 {rrec1:.3f}",
               flush=True)
 
+    # kernel-level recon-cache scan: device-resident queries, dispatch
+    # pipeline, RTT subtracted — the protocol of ivf_batched_1m.py, so
+    # the bf16 reconstruction table and the raw f32 IVF table compare
+    # apples-to-apples (the search_batched numbers above include a
+    # per-call query upload + readback that this dev tunnel dominates).
+    from image_search_engine_tpu.ops.ivf_pallas import ivf_probed_topk
+
+    pq.recon_cache = True
+    _ = pq.search_batched(q, K)  # populate the cache
+    recon, norms = pq._recon_tab
+    bcents, lists, _, _, _ = pq._device_arrays_pq()
+    tiny = jax.jit(lambda v: v + 1.0)
+    _ = np.asarray(tiny(jnp.zeros((8, 128))))
+    t0 = time.time()
+    for _ in range(3):
+        _ = np.asarray(tiny(jnp.zeros((8, 128))))
+    rtt = (time.time() - t0) / 3
+    for nprobe in (8, 4):
+        for qn in (256, 1024):
+            qj = jnp.asarray(pq._prep(qbig[:qn]))
+            out = ivf_probed_topk(qj, bcents, recon, norms, lists, K, nprobe)
+            _ = np.asarray(out[0])
+            reps = 10
+            t0 = time.time()
+            for _ in range(reps):
+                out = ivf_probed_topk(qj, bcents, recon, norms, lists, K,
+                                      nprobe)
+            _ = np.asarray(out[0])
+            el = max((time.time() - t0 - rtt) / reps, 1e-9)
+            print(f"recon-cache kernel nprobe={nprobe} Q={qn}: "
+                  f"{el*1e3:.1f} ms/dispatch -> {qn/el/1e3:.1f}k QPS",
+                  flush=True)
+
 
 if __name__ == "__main__":
     main()
