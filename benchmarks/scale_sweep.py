@@ -1,0 +1,93 @@
+"""Single-chip capacity sweep: exact k-NN QPS vs corpus size.
+
+BASELINE's operating point is 1M x 128; this measures the same fused
+two-phase exact search (bench.py operating point: Q=2048, k=10, margin 2,
+bf16 store, certificate on) at 1M/2M/4M rows on ONE chip. The bf16 store
+is N*256 B (1 GB at 4M) — comfortably HBM-resident; phase 1 streams the
+whole store per dispatch, so QPS should fall ~1/N while the exactness
+certificate keeps holding.
+
+    python benchmarks/scale_sweep.py [--iters 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+D, Q, K, TILE_N = 128, 2048, 10, 4096
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--sizes", type=int, nargs="+",
+                    default=[1_000_000, 2_000_000, 4_000_000])
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from image_search_engine_tpu.ops.topk_pallas import topk_twophase
+
+    assert jax.default_backend() == "tpu"
+    rng = np.random.default_rng(0)
+    qh = rng.standard_normal((args.iters, Q, D)).astype(np.float32)
+    qs = [jnp.asarray(qh[i]) for i in range(args.iters)]
+
+    tiny = jax.jit(lambda v: v + 1.0)
+    _ = np.asarray(tiny(jnp.zeros((8, 128))))
+    t0 = time.time()
+    for _ in range(3):
+        _ = np.asarray(tiny(jnp.zeros((8, 128))))
+    rtt = (time.time() - t0) / 3
+
+    for n in args.sizes:
+        # generate + upload bf16 (half the tunnel bytes); norms computed
+        # on DEVICE from the bf16 store values (same values the kernel
+        # sees) — an earlier revision downloaded the 4M store (2 GB)
+        # through the ~27 MB/s tunnel just to compute norms on host,
+        # which read as a >25 min "compile"
+        xh = rng.standard_normal((n, D)).astype(np.float32).astype(jnp.bfloat16)
+        x = jnp.asarray(xh)
+        del xh
+        xn = jax.jit(lambda v: jnp.einsum(
+            "nd,nd->n", v.astype(jnp.float32), v.astype(jnp.float32)))(x)
+        xn.block_until_ready()
+
+        def fn(q):
+            return topk_twophase(q, x, K, "l2", x_norms=xn, tile_n=TILE_N,
+                                 t_margin=2, fused_rescore=True,
+                                 with_certificate=True)
+
+        t0 = time.time()
+        d, i, cert = fn(qs[0])
+        _ = np.asarray(d)
+        compile_s = time.time() - t0
+        t0 = time.time()
+        certs = []
+        for it in range(args.iters):
+            d, i, cert = fn(qs[it])
+            certs.append(cert)
+        _ = np.asarray(d)
+        el = max(time.time() - t0 - rtt, 1e-9)
+        cert_ok = all(bool(np.asarray(c).all()) for c in certs)
+        print(json.dumps({
+            "n": n,
+            "store_gb": round(n * D * 2 / 1e9, 2),
+            "ms_per_dispatch": round(1000 * el / args.iters, 2),
+            "qps": round(args.iters * Q / el),
+            "certificate_ok": cert_ok,
+            "compile_s": round(compile_s, 1),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
