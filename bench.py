@@ -23,6 +23,9 @@ Prints ONE JSON line.
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -35,8 +38,59 @@ ITERS = 100  # ~0.85 s window so the ~30-73 ms tunnel RTT correction
 # is <10% of the measurement (30 iters made QPS swing ~25% run-to-run)
 
 
+def _wait_for_tpu(max_wait_s: float = 1800.0) -> None:
+    """Block until the TPU tunnel answers a trivial dispatch (or give up).
+
+    The axon tunnel has been observed wedged for extended stretches —
+    client init hangs silently inside the PJRT plugin, before any JAX
+    call returns. Probing in a BOUNDED subprocess (this process's own
+    jax init cannot be interrupted) turns "bench hangs forever and the
+    round records nothing" into "bench waits out a transient outage,
+    then runs". Progress goes to stderr; the JSON contract on stdout is
+    untouched. After ``max_wait_s`` we proceed anyway — the tunnel may
+    recover mid-init, and a hang is no worse than never trying.
+    """
+    probe = ("import numpy as np, jax, jax.numpy as jnp; "
+             "np.asarray(jax.jit(lambda v: v + 1.0)(jnp.zeros(8))); "
+             "print('ok')")
+    deadline = time.time() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run([sys.executable, "-c", probe],
+                               capture_output=True, text=True, timeout=240)
+            if r.returncode == 0 and "ok" in r.stdout:
+                if attempt > 1:
+                    print(f"bench: TPU tunnel back after {attempt} probes",
+                          file=sys.stderr, flush=True)
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() >= deadline:
+            print("bench: TPU tunnel still unresponsive after "
+                  f"{max_wait_s:.0f}s; proceeding anyway", file=sys.stderr,
+                  flush=True)
+            return
+        print(f"bench: TPU probe {attempt} failed; tunnel may be down — "
+              "retrying in 60s", file=sys.stderr, flush=True)
+        time.sleep(60)
+
+
 def main() -> None:
+    want_cpu = os.environ.get("JAX_PLATFORMS", "") == "cpu"
+    if not want_cpu:
+        _wait_for_tpu(float(os.environ.get("ISE_BENCH_TPU_WAIT_S", "1800")))
+
     import jax
+
+    if want_cpu:
+        # the env var alone does NOT keep backend discovery away from the
+        # axon plugin (it hangs when the tunnel is down); forcing the
+        # config before first use does — see CLAUDE.md "Environment
+        # gotchas"
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
 
     from image_search_engine_tpu.ops.topk_pallas import topk_twophase
@@ -44,7 +98,8 @@ def main() -> None:
     on_tpu = jax.default_backend() == "tpu"
     if not on_tpu:
         global N, ITERS, Q
-        N, ITERS, Q = 100_000, 5, 64  # CPU smoke fallback
+        N, ITERS, Q = 20_000, 2, 16  # CPU smoke fallback (interpret-mode
+        # Pallas is ~minutes at 100k rows; this is a wiring check only)
 
     rng = np.random.default_rng(0)
     xh = rng.standard_normal((N, D)).astype(np.float32)
