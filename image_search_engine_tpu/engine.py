@@ -410,13 +410,17 @@ class QueryEngine:
                 # + replicated books (round 1 silently rebuilt a raw-vector
                 # ShardedIVF here — dropping PQ's whole point — or, for a
                 # codes-only artifact, silently ignored the mesh)
-                if index.rerank:
+                if index.rerank and index.vectors is None:
                     log.warning(
-                        "ivfpq rerank=%d is single-chip only; the sharded "
-                        "index serves ADC ranking (per-shard raw vectors "
-                        "would defeat the compression sharding preserves)",
+                        "ivfpq rerank=%d configured but the artifact is "
+                        "codes-only; the sharded index serves ADC ranking "
+                        "(rebuild with --pq-rerank, which saves raw "
+                        "vectors, to keep the refine stage on the mesh)",
                         index.rerank,
                     )
+                # from_index carries raw rows + the rerank shortlist onto
+                # the mesh when the artifact has them: shard-local exact
+                # refine, merged on exact distances
                 return ShardedIVFPQ.from_index(index, mesh)
             return index
         if cfg.index_type == IndexType.CELL_PROBE:

@@ -22,7 +22,7 @@ codes-only IVFPQ artifact scales out as-is.
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -211,6 +211,13 @@ class ShardedIVFPQ(ShardedIVF):
         self.pq_books = None  # (m, 256, dsub) replicated
         self.packed_codes = None  # (S*nb, cap, m) sharded on first axis
         self.m = 0
+        # exact-rerank state (optional, mirrors IVFPQIndex.rerank): raw
+        # rows packed per shard so the refine stage stays shard-LOCAL —
+        # each shard re-scores only its own ADC shortlist, then exact
+        # distances ride the same all_gather merge
+        self.rerank = 0
+        self.packed_raw = None  # (S*nb, cap, d) sharded, f32
+        self.packed_rnorms = None  # (S*nb, cap) sharded, +inf at pads
 
     @classmethod
     def from_codes(
@@ -223,11 +230,21 @@ class ShardedIVFPQ(ShardedIVF):
         mesh: Mesh,
         axis: str = "data",
         metric: str = "l2",
+        raw: Optional[np.ndarray] = None,
+        rerank: int = 0,
     ) -> "ShardedIVFPQ":
         """Build from an IVFPQ artifact's components — codes (N, m),
         per-row coarse-cell assignment (N,), cell centroids (nlist, d) and
         codebooks (m, 256, dsub). No raw vectors required: this is what
         lets a compressed (codes-only) artifact scale out compressed.
+
+        ``raw`` (N, d) + ``rerank`` C adds the exact refine stage on the
+        mesh: each shard re-scores its own top-C ADC shortlist from its
+        local raw rows (no cross-shard vector traffic), so the merged
+        ranking is exact over the store — recall parity with the
+        single-chip ``IVFPQIndex.search(rerank=C)`` path. Costs N*d*4
+        bytes across the mesh on top of the codes; artifacts saved
+        codes-only cannot rerank (same rule as the single-chip path).
         """
         from image_search_engine_tpu.index.ivf import _build_buckets
 
@@ -256,11 +273,19 @@ class ShardedIVFPQ(ShardedIVF):
         lists = np.full((s, nb, cap), -1, np.int32)
         bcents = np.full((s, nb, d), 1e15, np.float32)
         pcodes = np.zeros((s, nb, cap, m), np.int32)
+        if raw is not None:
+            praw = np.zeros((s, nb, cap, d), np.float32)
+            prnorm = np.full((s, nb, cap), np.inf, np.float32)
         for si, (l, b_cell) in enumerate(per_shard):
             lists[si, : l.shape[0], : l.shape[1]] = l
             bcents[si, : l.shape[0]] = centroids[b_cell]
             valid = l >= 0
             pcodes[si, : l.shape[0], : l.shape[1]][valid] = codes[l[valid]]
+            if raw is not None:
+                rows = raw[l[valid]].astype(np.float32)
+                praw[si, : l.shape[0], : l.shape[1]][valid] = rows
+                prnorm[si, : l.shape[0], : l.shape[1]][valid] = (
+                    rows * rows).sum(axis=1)
 
         rep = NamedSharding(mesh, P())
         shard0 = NamedSharding(mesh, P(axis, *([None] * 2)))
@@ -275,6 +300,15 @@ class ShardedIVFPQ(ShardedIVF):
         self.packed_codes = jax.device_put(
             jnp.asarray(pcodes.reshape(s * nb, cap, m)), shard0
         )
+        if raw is not None:
+            self.packed_raw = jax.device_put(
+                jnp.asarray(praw.reshape(s * nb, cap, d)), shard0
+            )
+            self.packed_rnorms = jax.device_put(
+                jnp.asarray(prnorm.reshape(s * nb, cap)),
+                NamedSharding(mesh, P(axis, None)),
+            )
+            self.rerank = int(rerank)
         self.n = n
         self.m = m
         self.nlist = nlist
@@ -284,13 +318,25 @@ class ShardedIVFPQ(ShardedIVF):
 
     @classmethod
     def from_index(cls, index, mesh: Mesh, axis: str = "data") -> "ShardedIVFPQ":
-        """Reshard a loaded ``IVFPQIndex`` (raw vectors NOT required)."""
+        """Reshard a loaded ``IVFPQIndex`` (raw vectors NOT required —
+        but when the artifact carries them AND the index was built with a
+        rerank shortlist, the refine stage survives the mesh too)."""
+        has_raw = getattr(index, "vectors", None) is not None
         return cls.from_codes(
             index.codes, index.row_cells(), index.centroids, index.pq_books,
             index.nprobe, mesh, axis=axis, metric=index.metric,
+            raw=index.vectors if (has_raw and index.rerank) else None,
+            rerank=index.rerank if has_raw else 0,
         )
 
-    def search(self, q: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+    def search(self, q: np.ndarray, k: int,
+               rerank: Optional[int] = None) -> Tuple[np.ndarray, np.ndarray]:
+        rerank = self.rerank if rerank is None else rerank
+        if rerank and self.packed_raw is None:
+            raise ValueError(
+                "rerank needs raw vectors on the mesh; rebuild with "
+                "from_codes(raw=...) or an artifact saved store_raw=True"
+            )
         q = jnp.asarray(self._prep_query(q))
         nprobe = self.nprobe
         cap = self.lists.shape[1]
@@ -299,8 +345,10 @@ class ShardedIVFPQ(ShardedIVF):
         dsub = d // m
         axis = self.axis
         k_eff = min(k, max(1, min(self.n, self.mesh.shape[axis] * nprobe * cap)))
+        c_eff = min(max(int(rerank), k_eff), nprobe * cap) if rerank else 0
 
-        def shard_fn(qr, bcents, lists_local, pcodes_local, books):
+        def shard_fn(qr, bcents, lists_local, pcodes_local, books,
+                     praw_local=None, prnorm_local=None):
             qn_ = qr.shape[0]
             # rank local buckets (pads poisoned far away)
             cn = jnp.sum(bcents * bcents, axis=1)
@@ -340,7 +388,26 @@ class ShardedIVFPQ(ShardedIVF):
             dist = jnp.concatenate(dists, axis=1)
             cand = jnp.concatenate(cands, axis=1)
 
-            kk = min(k_eff, nprobe * cap)
+            if c_eff:
+                # shard-local refine (faiss IndexRefineFlat composed with
+                # the sharded index): the top-C ADC shortlist re-scored
+                # exactly from this shard's raw rows — pad slots carry
+                # +inf norms so they stay unreachable, and the merged
+                # ranking below compares EXACT distances across shards
+                _, spos = jax.lax.top_k(-dist, c_eff)  # (Q, C)
+                bkt = jnp.take_along_axis(probe, spos // cap, axis=1)
+                slot = spos % cap
+                rows = praw_local[bkt, slot]  # (Q, C, d)
+                rn = prnorm_local[bkt, slot]
+                qn2 = jnp.sum(qr * qr, axis=1, keepdims=True)
+                cross = jnp.einsum("qd,qcd->qc", qr, rows,
+                                   preferred_element_type=jnp.float32)
+                exact = qn2 - 2.0 * cross + rn
+                invalid = jnp.take_along_axis(cand, spos, axis=1) < 0
+                dist = jnp.where(invalid, jnp.inf, exact)
+                cand = jnp.take_along_axis(cand, spos, axis=1)
+
+            kk = min(k_eff, c_eff or (nprobe * cap))
             vals, pos = jax.lax.top_k(-dist, kk)
             ids = jnp.take_along_axis(cand, pos, axis=1)
 
@@ -352,14 +419,18 @@ class ShardedIVFPQ(ShardedIVF):
             mids = jnp.take_along_axis(i_cat, mpos, axis=1)
             return -mvals, mids
 
+        in_specs = [P(), P(axis, None), P(axis, None), P(axis, None, None), P()]
+        args = [q, self.bucket_centroids, self.lists, self.packed_codes,
+                self.pq_books]
+        if c_eff:
+            in_specs += [P(axis, None, None), P(axis, None)]
+            args += [self.packed_raw, self.packed_rnorms]
         f = jax.shard_map(
             shard_fn,
             mesh=self.mesh,
-            in_specs=(P(), P(axis, None), P(axis, None), P(axis, None, None), P()),
+            in_specs=tuple(in_specs),
             out_specs=(P(), P()),
             check_vma=False,
         )
-        dd, ii = jax.device_get(
-            f(q, self.bucket_centroids, self.lists, self.packed_codes,
-              self.pq_books))
+        dd, ii = jax.device_get(f(*args))
         return self._finish(np.array(dd), np.array(ii), k)

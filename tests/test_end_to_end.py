@@ -249,6 +249,31 @@ def test_sharded_engine_ivfpq_keeps_compression(corpus_dir):
     assert len(pred) == 3
 
 
+def test_sharded_engine_ivfpq_rerank_survives_mesh(corpus_dir):
+    # --pq-rerank artifacts carry raw vectors; loading them onto a mesh
+    # must keep the exact refine stage (shard-local rescore), not silently
+    # downgrade to ADC ranking
+    from image_search_engine_tpu.parallel.ivf import ShardedIVFPQ
+    from image_search_engine_tpu.parallel.mesh import make_mesh
+    from image_search_engine_tpu.utils.imageio import load_image
+
+    mesh = make_mesh(8)
+    cfg = _cfg(corpus_dir, method=Method.DNN, dnn_model=DnnModel.RESNET_TINY,
+               index_type=IndexType.IVFPQ, ivf_nlist=2, ivf_nprobe=2, pq_m=8,
+               pq_rerank=8)
+    indexer_main(cfg)
+    engine = QueryEngine(cfg, mesh=mesh)
+    assert isinstance(engine.index, ShardedIVFPQ)
+    assert engine.index.rerank == 8 and engine.index.packed_raw is not None
+
+    img = load_image(engine.paths[0])
+    pred = engine.query(img, k=3)
+    # reranked distances are exact over the store: the self-match must
+    # rank first at ~zero distance (ADC-only PQ noise could reorder it)
+    assert pred[0][2] == engine.paths[0]
+    assert pred[0][0] < 0.05
+
+
 def test_thumbnail_cache_built_and_served(corpus_dir):
     import base64
     import io

@@ -169,6 +169,50 @@ def test_sharded_ivfpq_from_codes_only_artifact(corpus, tmp_path):
     assert spq.pq_books.shape[1] == 256
 
 
+def test_sharded_ivfpq_rerank_parity(corpus, tmp_path):
+    # the refine stage must survive the mesh: shard-local exact rescore of
+    # the ADC shortlist, merged on exact distances — recall parity with the
+    # single-chip IVFPQIndex.search(rerank=C) path AND with exact search
+    from image_search_engine_tpu.parallel.ivf import ShardedIVFPQ
+    from image_search_engine_tpu.parallel.mesh import make_mesh
+
+    x, q = corpus
+    mesh = make_mesh(8)
+    pq = IVFPQIndex(nlist=8, nprobe=8, m=16, rerank=64).add(x)  # full probe
+    p = tmp_path / "pq.npz"
+    pq.save(p, store_raw=True)
+    loaded = IVFPQIndex.load(p)
+    spq = ShardedIVFPQ.from_index(loaded, mesh)
+    assert spq.rerank == 64 and spq.packed_raw is not None
+
+    d1, i1 = pq.search(q, 10)
+    d2, i2 = spq.search(q, 10)
+    flat = FlatIndex("l2").add(x)
+    df, fi = flat.search(q, 10)
+    # rerank distances are exact over the store on both layouts; full
+    # probing means both shortlists cover the true neighbors
+    assert recall_at_k(np.asarray(i2), np.asarray(fi)) >= 0.95
+    assert recall_at_k(np.asarray(i2), np.asarray(i1)) >= 0.95
+    np.testing.assert_allclose(np.sort(d2, 1), np.sort(df, 1),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_sharded_ivfpq_rerank_requires_raw(corpus, tmp_path):
+    from image_search_engine_tpu.parallel.ivf import ShardedIVFPQ
+    from image_search_engine_tpu.parallel.mesh import make_mesh
+
+    x, q = corpus
+    pq = IVFPQIndex(nlist=8, nprobe=4, m=8, rerank=32).add(x)
+    p = tmp_path / "pq.npz"
+    pq.save(p)  # codes-only: rerank cannot survive
+    loaded = IVFPQIndex.load(p)
+    spq = ShardedIVFPQ.from_index(loaded, make_mesh(8))
+    assert spq.rerank == 0 and spq.packed_raw is None  # downgraded loudly...
+    spq.search(q, 5)  # ...but ADC search still works
+    with pytest.raises(ValueError, match="rerank needs raw vectors"):
+        spq.search(q, 5, rerank=32)
+
+
 def test_ivfpq_row_cells_roundtrip(corpus):
     from image_search_engine_tpu.ops.kmeans import assign_jax
     import jax.numpy as jnp
