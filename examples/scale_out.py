@@ -71,6 +71,16 @@ def main() -> None:
           f"({bytes_per_row} bytes/row vs {x.shape[1] * 4} raw — "
           f"{x.shape[1] * 4 // bytes_per_row}x compression on the mesh)")
 
+    # 4) ...with the exact refine stage on the mesh: pass raw rows and a
+    # shortlist size and each shard re-scores its own ADC top-C locally;
+    # the merge then ranks EXACT distances (recall parity with the
+    # single-chip rerank path)
+    pq_r = IVFPQIndex(nlist=16, nprobe=8, m=8, rerank=32).add(x)
+    spq_r = ShardedIVFPQ.from_index(pq_r, mesh)
+    d, i = spq_r.search(q, 5)
+    print(f"sharded IVF-PQ + exact rerank(32): top-1 ids {i[:, 0].tolist()} "
+          f"(distances exact over the store)")
+
 
 if __name__ == "__main__":
     main()
