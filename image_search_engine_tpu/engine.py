@@ -437,7 +437,7 @@ class QueryEngine:
                     )
                 return ShardedIVF.from_components(
                     index.vectors, index.centroids, index.nprobe, mesh,
-                    metric=index.metric,
+                    metric=index.metric, table_dtype=index.table_dtype,
                 )
             return index
         from image_search_engine_tpu.index.flat import FlatIndex

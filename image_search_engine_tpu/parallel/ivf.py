@@ -85,9 +85,16 @@ class ShardedIVF:
         mesh: Mesh,
         axis: str = "data",
         metric: str = "l2",
+        table_dtype: str = "f32",
     ) -> "ShardedIVF":
+        """``table_dtype="bf16"`` halves each shard's row storage (the
+        same knob as the single-chip ``IVFIndex(table_dtype=...)``, whose
+        bf16 table also measured 2.1x faster on the HBM-bound probed
+        scan); scoring stays exact over the stored (rounded) values."""
         from image_search_engine_tpu.ops.kmeans import assign_jax
 
+        if table_dtype not in ("f32", "bf16"):
+            raise ValueError("table_dtype must be f32 or bf16")
         self = cls(mesh, axis, metric)
         x = np.asarray(x, np.float32)
         if metric == "cosine":
@@ -101,6 +108,8 @@ class ShardedIVF:
 
         xp = np.zeros((npad, d), np.float32)
         xp[:n] = x
+        xp_dev = jnp.asarray(xp, jnp.bfloat16) if table_dtype == "bf16" \
+            else jnp.asarray(xp)
         codes = np.asarray(assign_jax(jnp.asarray(x), jnp.asarray(centroids))[0])
 
         # per-shard balanced buckets over local rows (global row ids):
@@ -126,7 +135,7 @@ class ShardedIVF:
 
         self.centroids = jax.device_put(jnp.asarray(centroids, jnp.float32),
                                         NamedSharding(mesh, P()))
-        self.rows = jax.device_put(jnp.asarray(xp), NamedSharding(mesh, P(axis, None)))
+        self.rows = jax.device_put(xp_dev, NamedSharding(mesh, P(axis, None)))
         self.lists = jax.device_put(
             jnp.asarray(lists.reshape(s * nb, cap)),
             NamedSharding(mesh, P(axis, None)),
@@ -163,7 +172,9 @@ class ShardedIVF:
             cand = lists_local[probe].reshape(qr.shape[0], nprobe * max_l)  # global ids
             valid = cand >= 0
             local_idx = jnp.clip(cand - base, 0, r - 1)
-            vecs = rows_local[local_idx]  # (Q, C, d)
+            # cast up AFTER the gather so a bf16 table also halves the
+            # gather traffic; distances are exact over the stored values
+            vecs = rows_local[local_idx].astype(jnp.float32)  # (Q, C, d)
             qn = jnp.sum(qr * qr, axis=1, keepdims=True)
             vn = jnp.sum(vecs * vecs, axis=2)
             cross = jnp.einsum("qd,qcd->qc", qr, vecs, preferred_element_type=jnp.float32)

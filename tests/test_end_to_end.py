@@ -216,12 +216,20 @@ def test_sharded_engine_cell_probe(corpus_dir):
     from image_search_engine_tpu.parallel.mesh import make_mesh
     from image_search_engine_tpu.utils.imageio import load_image
 
+    import jax.numpy as jnp
+
     mesh = make_mesh(8)
+    # bf16 store: the recommended cell-probe serving config must carry
+    # through the engine onto the mesh (ShardedIVF bf16 rows)
     cfg = _cfg(corpus_dir, method=Method.DNN, dnn_model=DnnModel.RESNET_TINY,
-               index_type=IndexType.CELL_PROBE, ivf_nlist=4, ivf_nprobe=4)
+               index_type=IndexType.CELL_PROBE, ivf_nlist=4, ivf_nprobe=4,
+               store_dtype="bf16")
     indexer_main(cfg)
     engine = QueryEngine(cfg, mesh=mesh)
-    from image_search_engine_tpu.parallel.ivf import ShardedIVF  # noqa: F401
+    from image_search_engine_tpu.parallel.ivf import ShardedIVF
+
+    assert isinstance(engine.index, ShardedIVF)
+    assert engine.index.rows.dtype == jnp.bfloat16
 
     img = load_image(engine.paths[0])
     pred = engine.query(img, k=3)

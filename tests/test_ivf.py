@@ -169,6 +169,32 @@ def test_sharded_ivfpq_from_codes_only_artifact(corpus, tmp_path):
     assert spq.pq_books.shape[1] == 256
 
 
+def test_sharded_ivf_bf16_table(corpus):
+    # the bf16-table serving recommendation must survive the mesh: same
+    # neighbors as the f32 sharded table (up to bf16 rounding of ties),
+    # half the per-shard row storage
+    import jax.numpy as jnp
+
+    from image_search_engine_tpu.parallel.ivf import ShardedIVF
+    from image_search_engine_tpu.parallel.mesh import make_mesh
+
+    x, q = corpus
+    mesh = make_mesh(8)
+    ivf = IVFIndex(nlist=16, nprobe=16).add(x)  # full probe -> exact
+    s32 = ShardedIVF.from_components(x, ivf.centroids, nprobe=16, mesh=mesh)
+    s16 = ShardedIVF.from_components(x, ivf.centroids, nprobe=16, mesh=mesh,
+                                     table_dtype="bf16")
+    assert s16.rows.dtype == jnp.bfloat16 and s32.rows.dtype == jnp.float32
+    d1, i1 = s32.search(q, 10)
+    d2, i2 = s16.search(q, 10)
+    assert recall_at_k(np.asarray(i2), np.asarray(i1)) >= 0.95
+    np.testing.assert_allclose(np.sort(d1, 1), np.sort(d2, 1),
+                               rtol=2e-2, atol=2e-2)
+    with pytest.raises(ValueError, match="table_dtype"):
+        ShardedIVF.from_components(x, ivf.centroids, nprobe=4, mesh=mesh,
+                                   table_dtype="int8")
+
+
 def test_sharded_ivfpq_rerank_parity(corpus, tmp_path):
     # the refine stage must survive the mesh: shard-local exact rescore of
     # the ADC shortlist, merged on exact distances — recall parity with the
