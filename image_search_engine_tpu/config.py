@@ -136,6 +136,12 @@ class Config:
 
     # --- mesh / sharding ------------------------------------------------------
     mesh_axis: str = "data"  # 1-D mesh axis the vector store is sharded over
+    shard_devices: "int | None" = None  # --sharded: shard the index over a
+    # 1-D mesh of the first N local devices (0 = all). None = unsharded.
+    # --- multi-host (DCN) ---------------------------------------------------
+    dcn_coordinator: "str | None" = None  # host:port of process 0; setting
+    dcn_num_processes: "int | None" = None  # these three joins the job via
+    dcn_process_id: "int | None" = None  # parallel/mesh.init_multihost
 
     def __post_init__(self) -> None:
         self.data_dir = Path(self.data_dir)

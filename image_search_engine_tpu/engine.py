@@ -580,6 +580,13 @@ def make_handler(engine: QueryEngine):
 
 
 def serve(cfg: Config, mesh=None) -> None:
+    if mesh is None:
+        from image_search_engine_tpu.parallel.mesh import mesh_from_config
+
+        mesh = mesh_from_config(cfg)  # None unless --sharded/--dcn-* asked
+        if mesh is not None:
+            log.info("sharded serving over a %d-device mesh",
+                     mesh.devices.size)
     engine = QueryEngine(cfg, mesh=mesh)
     httpd = ThreadingHTTPServer((cfg.host, cfg.port), make_handler(engine))
     log.info("serving %s on http://%s:%d (corpus: %d images)",
@@ -601,14 +608,37 @@ def parse_args(argv=None) -> Config:
                          "backbone (must match the indexer's)")
     ap.add_argument("--micro-batch", action="store_true",
                     help="batch concurrent queries into one device call")
+    ap.add_argument("--no-compile-cache", action="store_true",
+                    help="disable the persistent XLA compilation cache "
+                         "(utils/compile_cache.py; restarts skip prewarm "
+                         "compiles)")
+    ap.add_argument("--sharded", type=int, nargs="?", const=0, default=None,
+                    metavar="N",
+                    help="shard the index over a 1-D mesh of the first N "
+                         "local devices (no N = all); the multi-chip "
+                         "serving layout (parallel/)")
+    ap.add_argument("--dcn-coordinator", default=None, metavar="HOST:PORT",
+                    help="join a multi-host (DCN) job before meshing — "
+                         "process 0's address; give all three --dcn-* on "
+                         "every process, or none for TPU-env autodetect "
+                         "(with --sharded)")
+    ap.add_argument("--dcn-processes", type=int, default=None)
+    ap.add_argument("--dcn-process-id", type=int, default=None)
     a = ap.parse_args(argv)
     from image_search_engine_tpu.config import DnnModel
+
+    if not a.no_compile_cache:
+        from image_search_engine_tpu.utils import compile_cache
+
+        compile_cache.enable()
 
     return Config(
         artifacts_dir=a.artifacts_dir, method=Method(a.method),
         index_type=IndexType(a.index_type), dnn_model=DnnModel(a.dnn_model),
         host=a.host, port=a.port, resize_size=a.resize_size,
         micro_batch=a.micro_batch, torch_weights=a.torch_weights,
+        shard_devices=a.sharded, dcn_coordinator=a.dcn_coordinator,
+        dcn_num_processes=a.dcn_processes, dcn_process_id=a.dcn_process_id,
     )
 
 

@@ -183,6 +183,12 @@ def build_thumbnails(cfg: Config) -> None:
 
 def main(cfg: Config, mesh=None, use_native: bool = False) -> None:
     t0 = time.time()
+    if mesh is None:
+        from image_search_engine_tpu.parallel.mesh import mesh_from_config
+
+        mesh = mesh_from_config(cfg)  # None unless --sharded/--dcn-* asked
+        if mesh is not None:
+            log.info("sharded build over a %d-device mesh", mesh.devices.size)
     cfg.artifacts_dir.mkdir(parents=True, exist_ok=True)
     paths = get_image_paths(cfg.data_dir)
     if not paths:
@@ -232,9 +238,26 @@ def parse_args(argv=None):
                     help="decode+resize with the C++ loader (native/)")
     ap.add_argument("--no-thumbnails", action="store_true",
                     help="skip the packed thumbnail cache (thumbnails.npz)")
+    ap.add_argument("--no-compile-cache", action="store_true",
+                    help="disable the persistent XLA compilation cache "
+                         "(utils/compile_cache.py)")
+    ap.add_argument("--sharded", type=int, nargs="?", const=0, default=None,
+                    metavar="N",
+                    help="build/embed over a 1-D mesh of the first N local "
+                         "devices (no N = all)")
+    ap.add_argument("--dcn-coordinator", default=None, metavar="HOST:PORT",
+                    help="join a multi-host (DCN) job before meshing; give "
+                         "all three --dcn-* on every process, or none for "
+                         "TPU-env autodetect (with --sharded)")
+    ap.add_argument("--dcn-processes", type=int, default=None)
+    ap.add_argument("--dcn-process-id", type=int, default=None)
     a = ap.parse_args(argv)
     from image_search_engine_tpu.config import DnnModel
 
+    if not a.no_compile_cache:
+        from image_search_engine_tpu.utils import compile_cache
+
+        compile_cache.enable()
     return Config(
         data_dir=a.data_dir, artifacts_dir=a.artifacts_dir,
         method=Method(a.method), index_type=IndexType(a.index_type),
@@ -246,6 +269,8 @@ def parse_args(argv=None):
         embed_batch_size=a.batch_size, resize_size=a.resize_size,
         precompute_thumbnails=not a.no_thumbnails, store_dtype=a.store_dtype,
         torch_weights=a.torch_weights, pq_rerank=a.pq_rerank,
+        shard_devices=a.sharded, dcn_coordinator=a.dcn_coordinator,
+        dcn_num_processes=a.dcn_processes, dcn_process_id=a.dcn_process_id,
     ), a.native_loader
 
 

@@ -50,6 +50,30 @@ def init_multihost(
     return len(jax.devices())
 
 
+def mesh_from_config(cfg) -> Optional[Mesh]:
+    """Build the serving/indexing mesh a CLI run asked for (or None).
+
+    ``cfg.shard_devices`` (the ``--sharded`` flag): 0 = all local devices,
+    N = the first N. The ``cfg.dcn_*`` trio first joins a multi-host job
+    via :func:`init_multihost`, then shards over the GLOBAL device set —
+    the launch shape for serving one index across a multi-host slice.
+    """
+    dcn = (cfg.dcn_coordinator, cfg.dcn_num_processes, cfg.dcn_process_id)
+    if any(v is not None for v in dcn):
+        if cfg.dcn_coordinator is not None and None in dcn[1:]:
+            raise ValueError(
+                "--dcn-coordinator needs --dcn-processes and "
+                "--dcn-process-id (or none of the three, for TPU-env "
+                "auto-detection)"
+            )
+        init_multihost(*dcn)
+        if cfg.shard_devices is None:
+            return make_mesh(axis=cfg.mesh_axis)  # all global devices
+    if cfg.shard_devices is None:
+        return None
+    return make_mesh(cfg.shard_devices or None, axis=cfg.mesh_axis)
+
+
 def shard_rows(x, mesh: Mesh, axis: str = "data"):
     """Place (N, ...) array row-sharded over the mesh axis. N must be
     divisible by the mesh size (pad first — see index/store.py)."""
