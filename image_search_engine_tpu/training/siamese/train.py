@@ -343,6 +343,10 @@ def main(argv=None) -> None:
     ap.add_argument("--unfreeze-backbone", action="store_true",
                     help="train the backbone too (default: head only, like "
                     "the reference's FREEZE_BACKBONE)")
+    ap.add_argument("--sharded", type=int, nargs="?", const=0, default=None,
+                    metavar="N",
+                    help="data-parallel over a 1-D mesh of the first N "
+                         "local devices (no N = all); batch must divide it")
     a = ap.parse_args(argv)
     cfg = SiameseConfig(
         train_dir=a.train_dir, valid_dir=a.valid_dir, ckpt_dir=a.ckpt_dir,
@@ -350,7 +354,14 @@ def main(argv=None) -> None:
         image_size=tuple(a.image_size), embedding_dim=a.embedding_dim, lr=a.lr,
         freeze_backbone=not a.unfreeze_backbone, torch_weights=a.torch_weights,
     )
-    Trainer(cfg).run()
+    mesh = None
+    if a.sharded is not None:
+        from image_search_engine_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(a.sharded or None)
+        log.info("data-parallel training over a %d-device mesh",
+                 mesh.devices.size)
+    Trainer(cfg, mesh=mesh).run()
 
 
 if __name__ == "__main__":
