@@ -133,6 +133,9 @@ class Config:
     micro_batch_max: int = 8
     micro_batch_wait_ms: float = 3.0
     precompute_thumbnails: bool = True  # pack result thumbnails at index time
+    prewarm: bool = True  # compile the serving path before the first request
+    # (--no-prewarm skips it — with the persistent compilation cache warm,
+    # a restart's first query is already compiled)
 
     # --- mesh / sharding ------------------------------------------------------
     mesh_axis: str = "data"  # 1-D mesh axis the vector store is sharded over
@@ -206,5 +209,7 @@ class Config:
             kw["torch_weights"] = Path(env["ISE_TORCH_WEIGHTS"])
         if "ISE_PQ_RERANK" in env:
             kw["pq_rerank"] = int(env["ISE_PQ_RERANK"])
+        if "ISE_SHARDED" in env:
+            kw["shard_devices"] = int(env["ISE_SHARDED"])  # 0 = all devices
         kw.update(overrides)
         return cls(**kw)

@@ -579,7 +579,8 @@ def make_handler(engine: QueryEngine):
     return Handler
 
 
-def serve(cfg: Config, mesh=None) -> None:
+def serve(cfg: Config, mesh=None, prewarm: Optional[bool] = None) -> None:
+    prewarm = cfg.prewarm if prewarm is None else prewarm
     if mesh is None:
         from image_search_engine_tpu.parallel.mesh import mesh_from_config
 
@@ -587,7 +588,7 @@ def serve(cfg: Config, mesh=None) -> None:
         if mesh is not None:
             log.info("sharded serving over a %d-device mesh",
                      mesh.devices.size)
-    engine = QueryEngine(cfg, mesh=mesh)
+    engine = QueryEngine(cfg, mesh=mesh, prewarm=prewarm)
     httpd = ThreadingHTTPServer((cfg.host, cfg.port), make_handler(engine))
     log.info("serving %s on http://%s:%d (corpus: %d images)",
              cfg.method.value, cfg.host, cfg.port, len(engine.paths))
@@ -624,6 +625,10 @@ def parse_args(argv=None) -> Config:
                          "(with --sharded)")
     ap.add_argument("--dcn-processes", type=int, default=None)
     ap.add_argument("--dcn-process-id", type=int, default=None)
+    ap.add_argument("--no-prewarm", action="store_true",
+                    help="skip the startup compile of the serving path "
+                         "(use when the persistent compilation cache is "
+                         "already warm; first query compiles otherwise)")
     a = ap.parse_args(argv)
     from image_search_engine_tpu.config import DnnModel
 
@@ -639,6 +644,7 @@ def parse_args(argv=None) -> Config:
         micro_batch=a.micro_batch, torch_weights=a.torch_weights,
         shard_devices=a.sharded, dcn_coordinator=a.dcn_coordinator,
         dcn_num_processes=a.dcn_processes, dcn_process_id=a.dcn_process_id,
+        prewarm=not a.no_prewarm,
     )
 
 

@@ -47,6 +47,21 @@ def test_engine_cli_flags_map_to_config():
             cfg.dcn_process_id) == ("h:1", 2, 1)
 
 
+def test_engine_no_prewarm_flag():
+    from image_search_engine_tpu.engine import parse_args
+
+    base = ["--artifacts-dir", "/tmp/nope", "--no-compile-cache"]
+    assert parse_args(base).prewarm is True
+    assert parse_args(base + ["--no-prewarm"]).prewarm is False
+
+
+def test_sharded_env_override(monkeypatch):
+    monkeypatch.setenv("ISE_SHARDED", "4")
+    assert Config.from_env().shard_devices == 4
+    monkeypatch.delenv("ISE_SHARDED")
+    assert Config.from_env().shard_devices is None
+
+
 def test_indexer_cli_flags_map_to_config():
     from image_search_engine_tpu.indexer import parse_args
 
