@@ -60,7 +60,8 @@ def main() -> None:
         hits = get_event_count("/jax/compilation_cache/cache_hits")
     except Exception:
         pass
-    entries = len(list(Path(args.dir).expanduser().iterdir()))
+    d = Path(args.dir).expanduser()
+    entries = len(list(d.iterdir())) if d.is_dir() else 0
     print(f"cache_enabled={ok} backend={jax.default_backend()} "
           f"compile+run={wall:.2f}s cache_hits={hits} entries={entries}",
           flush=True)

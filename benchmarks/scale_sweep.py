@@ -60,7 +60,10 @@ def main() -> None:
         del xh
         xn = jax.jit(lambda v: jnp.einsum(
             "nd,nd->n", v.astype(jnp.float32), v.astype(jnp.float32)))(x)
-        xn.block_until_ready()
+        # fence with a tiny readback: block_until_ready does not reliably
+        # block over the tunnel (CLAUDE.md gotchas) and an in-flight norms
+        # einsum would otherwise be charged to compile_s
+        _ = np.asarray(xn[:8])
 
         def fn(q):
             return topk_twophase(q, x, K, "l2", x_norms=xn, tile_n=TILE_N,

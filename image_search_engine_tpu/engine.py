@@ -410,17 +410,10 @@ class QueryEngine:
                 # + replicated books (round 1 silently rebuilt a raw-vector
                 # ShardedIVF here — dropping PQ's whole point — or, for a
                 # codes-only artifact, silently ignored the mesh)
-                if index.rerank and index.vectors is None:
-                    log.warning(
-                        "ivfpq rerank=%d configured but the artifact is "
-                        "codes-only; the sharded index serves ADC ranking "
-                        "(rebuild with --pq-rerank, which saves raw "
-                        "vectors, to keep the refine stage on the mesh)",
-                        index.rerank,
-                    )
                 # from_index carries raw rows + the rerank shortlist onto
-                # the mesh when the artifact has them: shard-local exact
-                # refine, merged on exact distances
+                # the mesh when the artifact has them (shard-local exact
+                # refine, merged on exact distances) and warns when a
+                # rerank-configured artifact is codes-only
                 return ShardedIVFPQ.from_index(index, mesh)
             return index
         if cfg.index_type == IndexType.CELL_PROBE:
@@ -609,42 +602,23 @@ def parse_args(argv=None) -> Config:
                          "backbone (must match the indexer's)")
     ap.add_argument("--micro-batch", action="store_true",
                     help="batch concurrent queries into one device call")
-    ap.add_argument("--no-compile-cache", action="store_true",
-                    help="disable the persistent XLA compilation cache "
-                         "(utils/compile_cache.py; restarts skip prewarm "
-                         "compiles)")
-    ap.add_argument("--sharded", type=int, nargs="?", const=0, default=None,
-                    metavar="N",
-                    help="shard the index over a 1-D mesh of the first N "
-                         "local devices (no N = all); the multi-chip "
-                         "serving layout (parallel/)")
-    ap.add_argument("--dcn-coordinator", default=None, metavar="HOST:PORT",
-                    help="join a multi-host (DCN) job before meshing — "
-                         "process 0's address; give all three --dcn-* on "
-                         "every process, or none for TPU-env autodetect "
-                         "(with --sharded)")
-    ap.add_argument("--dcn-processes", type=int, default=None)
-    ap.add_argument("--dcn-process-id", type=int, default=None)
     ap.add_argument("--no-prewarm", action="store_true",
                     help="skip the startup compile of the serving path "
                          "(use when the persistent compilation cache is "
                          "already warm; first query compiles otherwise)")
+    from image_search_engine_tpu.utils.cli import (add_scaleout_args,
+                                                   apply_scaleout_args)
+
+    add_scaleout_args(ap, verb="serve")
     a = ap.parse_args(argv)
     from image_search_engine_tpu.config import DnnModel
-
-    if not a.no_compile_cache:
-        from image_search_engine_tpu.utils import compile_cache
-
-        compile_cache.enable()
 
     return Config(
         artifacts_dir=a.artifacts_dir, method=Method(a.method),
         index_type=IndexType(a.index_type), dnn_model=DnnModel(a.dnn_model),
         host=a.host, port=a.port, resize_size=a.resize_size,
         micro_batch=a.micro_batch, torch_weights=a.torch_weights,
-        shard_devices=a.sharded, dcn_coordinator=a.dcn_coordinator,
-        dcn_num_processes=a.dcn_processes, dcn_process_id=a.dcn_process_id,
-        prewarm=not a.no_prewarm,
+        prewarm=not a.no_prewarm, **apply_scaleout_args(a),
     )
 
 

@@ -238,26 +238,14 @@ def parse_args(argv=None):
                     help="decode+resize with the C++ loader (native/)")
     ap.add_argument("--no-thumbnails", action="store_true",
                     help="skip the packed thumbnail cache (thumbnails.npz)")
-    ap.add_argument("--no-compile-cache", action="store_true",
-                    help="disable the persistent XLA compilation cache "
-                         "(utils/compile_cache.py)")
-    ap.add_argument("--sharded", type=int, nargs="?", const=0, default=None,
-                    metavar="N",
-                    help="build/embed over a 1-D mesh of the first N local "
-                         "devices (no N = all)")
-    ap.add_argument("--dcn-coordinator", default=None, metavar="HOST:PORT",
-                    help="join a multi-host (DCN) job before meshing; give "
-                         "all three --dcn-* on every process, or none for "
-                         "TPU-env autodetect (with --sharded)")
-    ap.add_argument("--dcn-processes", type=int, default=None)
-    ap.add_argument("--dcn-process-id", type=int, default=None)
+    from image_search_engine_tpu.utils.cli import (add_scaleout_args,
+                                                   apply_scaleout_args)
+
+    add_scaleout_args(ap, verb="build/embed")
     a = ap.parse_args(argv)
     from image_search_engine_tpu.config import DnnModel
 
-    if not a.no_compile_cache:
-        from image_search_engine_tpu.utils import compile_cache
-
-        compile_cache.enable()
+    scaleout = apply_scaleout_args(a)
     return Config(
         data_dir=a.data_dir, artifacts_dir=a.artifacts_dir,
         method=Method(a.method), index_type=IndexType(a.index_type),
@@ -268,9 +256,7 @@ def parse_args(argv=None):
         corner_n_levels=a.corner_n_levels, corner_scale_step=a.corner_scale_step,
         embed_batch_size=a.batch_size, resize_size=a.resize_size,
         precompute_thumbnails=not a.no_thumbnails, store_dtype=a.store_dtype,
-        torch_weights=a.torch_weights, pq_rerank=a.pq_rerank,
-        shard_devices=a.sharded, dcn_coordinator=a.dcn_coordinator,
-        dcn_num_processes=a.dcn_processes, dcn_process_id=a.dcn_process_id,
+        torch_weights=a.torch_weights, pq_rerank=a.pq_rerank, **scaleout,
     ), a.native_loader
 
 

@@ -22,12 +22,15 @@ codes-only IVFPQ artifact scales out as-is.
 
 from __future__ import annotations
 
+import logging
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+_log = logging.getLogger(__name__)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -330,13 +333,22 @@ class ShardedIVFPQ(ShardedIVF):
     @classmethod
     def from_index(cls, index, mesh: Mesh, axis: str = "data") -> "ShardedIVFPQ":
         """Reshard a loaded ``IVFPQIndex`` (raw vectors NOT required —
-        but when the artifact carries them AND the index was built with a
-        rerank shortlist, the refine stage survives the mesh too)."""
+        but when the artifact carries them the exact-rerank refine stage
+        survives the mesh too, including per-call ``search(rerank=C)``
+        overrides, matching the single-chip API). A codes-only artifact
+        built with a rerank shortlist downgrades to ADC ranking, loudly."""
         has_raw = getattr(index, "vectors", None) is not None
+        if index.rerank and not has_raw:
+            _log.warning(
+                "ivfpq rerank=%d configured but the artifact is codes-only; "
+                "the sharded index serves ADC ranking (save with "
+                "store_raw=True / --pq-rerank to keep the refine stage)",
+                index.rerank,
+            )
         return cls.from_codes(
             index.codes, index.row_cells(), index.centroids, index.pq_books,
             index.nprobe, mesh, axis=axis, metric=index.metric,
-            raw=index.vectors if (has_raw and index.rerank) else None,
+            raw=index.vectors if has_raw else None,
             rerank=index.rerank if has_raw else 0,
         )
 
@@ -414,9 +426,8 @@ class ShardedIVFPQ(ShardedIVF):
                 cross = jnp.einsum("qd,qcd->qc", qr, rows,
                                    preferred_element_type=jnp.float32)
                 exact = qn2 - 2.0 * cross + rn
-                invalid = jnp.take_along_axis(cand, spos, axis=1) < 0
-                dist = jnp.where(invalid, jnp.inf, exact)
                 cand = jnp.take_along_axis(cand, spos, axis=1)
+                dist = jnp.where(cand < 0, jnp.inf, exact)
 
             kk = min(k_eff, c_eff or (nprobe * cap))
             vals, pos = jax.lax.top_k(-dist, kk)

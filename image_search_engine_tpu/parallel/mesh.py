@@ -60,13 +60,18 @@ def mesh_from_config(cfg) -> Optional[Mesh]:
     """
     dcn = (cfg.dcn_coordinator, cfg.dcn_num_processes, cfg.dcn_process_id)
     if any(v is not None for v in dcn):
-        if cfg.dcn_coordinator is not None and None in dcn[1:]:
+        if cfg.dcn_coordinator == "auto":
+            # TPU-pod autodetection: jax.distributed.initialize() reads
+            # cluster parameters from the TPU environment
+            init_multihost()
+        elif None in dcn:
             raise ValueError(
-                "--dcn-coordinator needs --dcn-processes and "
-                "--dcn-process-id (or none of the three, for TPU-env "
-                "auto-detection)"
+                "multi-host needs all three of --dcn-coordinator, "
+                "--dcn-processes and --dcn-process-id (or "
+                "--dcn-coordinator auto on a TPU pod)"
             )
-        init_multihost(*dcn)
+        else:
+            init_multihost(*dcn)
         if cfg.shard_devices is None:
             return make_mesh(axis=cfg.mesh_axis)  # all global devices
     if cfg.shard_devices is None:

@@ -223,7 +223,9 @@ def test_sharded_ivfpq_rerank_parity(corpus, tmp_path):
                                rtol=1e-3, atol=1e-3)
 
 
-def test_sharded_ivfpq_rerank_requires_raw(corpus, tmp_path):
+def test_sharded_ivfpq_rerank_requires_raw(corpus, tmp_path, caplog):
+    import logging
+
     from image_search_engine_tpu.parallel.ivf import ShardedIVFPQ
     from image_search_engine_tpu.parallel.mesh import make_mesh
 
@@ -232,11 +234,33 @@ def test_sharded_ivfpq_rerank_requires_raw(corpus, tmp_path):
     p = tmp_path / "pq.npz"
     pq.save(p)  # codes-only: rerank cannot survive
     loaded = IVFPQIndex.load(p)
-    spq = ShardedIVFPQ.from_index(loaded, make_mesh(8))
+    with caplog.at_level(logging.WARNING,
+                         logger="image_search_engine_tpu.parallel.ivf"):
+        spq = ShardedIVFPQ.from_index(loaded, make_mesh(8))
+    assert any("codes-only" in r.message for r in caplog.records)
     assert spq.rerank == 0 and spq.packed_raw is None  # downgraded loudly...
     spq.search(q, 5)  # ...but ADC search still works
     with pytest.raises(ValueError, match="rerank needs raw vectors"):
         spq.search(q, 5, rerank=32)
+
+
+def test_sharded_ivfpq_rerank_override_with_raw(corpus, tmp_path):
+    # single-chip API parity: a store_raw artifact built WITHOUT a default
+    # shortlist still honors per-call search(rerank=C) on the mesh
+    from image_search_engine_tpu.parallel.ivf import ShardedIVFPQ
+    from image_search_engine_tpu.parallel.mesh import make_mesh
+
+    x, q = corpus
+    pq = IVFPQIndex(nlist=8, nprobe=8, m=16).add(x)  # rerank=0, full probe
+    p = tmp_path / "pq.npz"
+    pq.save(p, store_raw=True)
+    spq = ShardedIVFPQ.from_index(IVFPQIndex.load(p), make_mesh(8))
+    assert spq.rerank == 0 and spq.packed_raw is not None
+    d1, i1 = pq.search(q, 10, rerank=64)
+    d2, i2 = spq.search(q, 10, rerank=64)
+    assert recall_at_k(np.asarray(i2), np.asarray(i1)) >= 0.95
+    np.testing.assert_allclose(np.sort(d1, 1), np.sort(d2, 1),
+                               rtol=1e-3, atol=1e-3)
 
 
 def test_ivfpq_row_cells_roundtrip(corpus):
