@@ -31,6 +31,28 @@ def test_mesh_from_config_dcn_needs_full_trio():
         mesh_from_config(Config(dcn_coordinator="127.0.0.1:1234"))
 
 
+def test_mesh_from_config_dcn_auto(monkeypatch):
+    # 'auto' delegates to jax.distributed TPU-env autodetection (no-arg
+    # init_multihost) and then meshes the global device set
+    from image_search_engine_tpu.parallel import mesh as mesh_mod
+
+    calls = []
+    monkeypatch.setattr(mesh_mod, "init_multihost",
+                        lambda *a: calls.append(a) or 8)
+    m = mesh_mod.mesh_from_config(Config(dcn_coordinator="auto"))
+    assert calls == [()]
+    assert m is not None and m.devices.size == 8
+
+
+def test_mesh_from_config_dcn_partial_trio_rejected():
+    from image_search_engine_tpu.parallel.mesh import mesh_from_config
+
+    # processes/process-id without a coordinator must fail loudly, not
+    # silently fall through to autodetection
+    with pytest.raises(ValueError, match="dcn-coordinator"):
+        mesh_from_config(Config(dcn_num_processes=2, dcn_process_id=0))
+
+
 def test_engine_cli_flags_map_to_config():
     from image_search_engine_tpu.engine import parse_args
 
