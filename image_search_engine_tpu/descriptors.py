@@ -185,8 +185,26 @@ def describe_dataset(
     """
     import hashlib
 
+    def _sig(v):
+        # stable textual signature of a descriptor parameter (objects like
+        # an embedder reduce to their type name — id()-bearing reprs would
+        # bust the cache every process)
+        if isinstance(v, (str, int, float, bool, type(None))):
+            return repr(v)
+        if isinstance(v, (tuple, list)):
+            return "[" + ",".join(_sig(x) for x in v) + "]"
+        if isinstance(v, dict):
+            return "{" + ",".join(f"{k}:{_sig(x)}" for k, x in sorted(v.items())) + "}"
+        return type(v).__name__
+
+    # the key covers the corpus AND the descriptor configuration: the same
+    # kind at different params (pyramid depth, keypoint budget, DAISY
+    # grid) produces different features, and a params-blind cache would
+    # silently serve stale geometry (the reference's joblib cache,
+    # descriptors.py:112-114, had exactly this hole)
+    desc_sig = type(descriptor).__name__ + _sig(getattr(descriptor, "__dict__", {}))
     corpus_key = hashlib.sha256(
-        ("\n".join(str(p) for p in paths) + f"|{image_size}").encode()
+        ("\n".join(str(p) for p in paths) + f"|{image_size}|{desc_sig}").encode()
     ).hexdigest()
     if cache_path is not None and Path(cache_path).exists():
         z = np.load(cache_path, allow_pickle=False)
@@ -195,7 +213,8 @@ def describe_dataset(
             log.info("loaded cached descriptions from %s", cache_path)
             valid = z["valid"] if "valid" in z.files else None
             return z["features"], valid, z["kept"]
-        log.info("description cache %s is stale (corpus changed); rebuilding", cache_path)
+        log.info("description cache %s is stale (corpus or descriptor "
+                 "params changed); rebuilding", cache_path)
 
     feats, valids, kept = [], [], []
     for batch, idx in load_images_batched(

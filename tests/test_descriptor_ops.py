@@ -141,6 +141,38 @@ def test_describe_dataset_cache_invalidated_on_corpus_change(rng, tmp_path):
     assert f3.shape[0] == 4 and len(k3) == 4
 
 
+def test_describe_dataset_cache_invalidated_on_param_change(rng, tmp_path, caplog):
+    # descriptor PARAMS are part of the cache key: re-indexing the same
+    # corpus at a different pyramid depth / keypoint budget must rebuild,
+    # not silently serve stale-geometry features
+    import logging
+
+    from PIL import Image
+
+    from image_search_engine_tpu.descriptors import (CornerDescriptor,
+                                                     describe_dataset)
+
+    paths = []
+    for i in range(2):
+        p = tmp_path / f"i{i}.png"
+        Image.fromarray((rng.random((48, 48, 3)) * 255).astype(np.uint8)).save(p)
+        paths.append(p)
+    cache = tmp_path / "cache.npz"
+    logger = "image_search_engine_tpu.descriptors"
+    describe_dataset(CornerDescriptor("orb", max_keypoints=32, n_levels=1),
+                     paths, 48, 2, cache_path=cache)
+    with caplog.at_level(logging.INFO, logger=logger):
+        describe_dataset(CornerDescriptor("orb", max_keypoints=32, n_levels=1),
+                         paths, 48, 2, cache_path=cache)
+    assert any("loaded cached" in r.message for r in caplog.records)
+    caplog.clear()
+    with caplog.at_level(logging.INFO, logger=logger):
+        describe_dataset(CornerDescriptor("orb", max_keypoints=32, n_levels=2),
+                         paths, 48, 2, cache_path=cache)
+    assert any("stale" in r.message for r in caplog.records)
+    assert not any("loaded cached" in r.message for r in caplog.records)
+
+
 def test_multiscale_pyramid_budgets():
     from image_search_engine_tpu.ops.corners import _level_budgets
 
