@@ -218,6 +218,80 @@ class QueryEngine:
 
             from image_search_engine_tpu.index.ivf import IVFIndex, IVFPQIndex
 
+            if type(index) is IVFPQIndex:
+                # fuse embed + PQ search into one jitted program, one host
+                # transfer per query. The codes are decompressed ONCE at
+                # startup into a resident bf16 reconstruction table
+                # (N*d*2 B — the serving recon-cache mode; scanning it IS
+                # ADC semantics up to bf16 rounding, see
+                # _pq_reconstruct_table), and the probed-scan kernel +
+                # optional exact rerank run in the same dispatch chain.
+                # The generic path paid 2 host hops + the ADC path's 3
+                # readbacks (~75 ms measured at 1M; BENCH_NOTES "IVFPQ at
+                # 1M"). Big arrays ride as ARGUMENTS, not closures — jit
+                # bakes closed-over arrays into the shipped program
+                # (remote_compile rejects ~512 MB constants).
+                import functools as _ft
+
+                import jax
+                import jax.numpy as jnp
+
+                from image_search_engine_tpu.index.ivf import (
+                    _exact_rescore, _pq_reconstruct_table)
+                from image_search_engine_tpu.ops.distances import l2_normalize
+                from image_search_engine_tpu.ops.image_ops import preprocess_for_cnn
+                from image_search_engine_tpu.ops.ivf_pallas import ivf_probed_topk
+
+                model = embedder.model
+                normalize = index.metric == "cosine"
+                nprobe = index._effective_nprobe()
+                max_list = index.lists.shape[1]
+                pool = nprobe * max_list
+                bcents, lists_d, valid_d, pcodes, books = index._device_arrays_pq()
+                recon, rnorms = _pq_reconstruct_table(
+                    pcodes, books, bcents, valid_d, index.m)
+                rerank = index.rerank
+                if rerank and index.vectors is None:
+                    log.warning(
+                        "IVFPQ index configured with rerank=%d but the "
+                        "artifact holds codes only — serving ADC-ranked "
+                        "results (rebuild with --pq-rerank to keep raw "
+                        "vectors)", rerank)
+                    rerank = 0
+                raw_d = index._device_raw() if rerank else None
+                norm_name3 = embedder.norm_name
+
+                @_ft.partial(jax.jit, static_argnames=("k", "c"))
+                def fused_pq(params, batch_stats, images, recon_t, rnorms_t,
+                             raw_t, k, c):
+                    x = preprocess_for_cnn(images, s, norm=norm_name3)
+                    variables = {"params": params}
+                    if batch_stats is not None:
+                        variables["batch_stats"] = batch_stats
+                    emb = model.apply(variables, x, train=False)
+                    if normalize:
+                        emb = l2_normalize(emb)
+                    out = ivf_probed_topk(emb, bcents, recon_t, rnorms_t,
+                                          lists_d, c if c else k, nprobe)
+                    if c:
+                        out = _exact_rescore(emb, raw_t, out[1], out[2], k)
+                    return out
+
+                def search(image: np.ndarray, k: int):
+                    k_eff = min(k, index.ntotal, pool)
+                    c_eff = min(max(rerank, k_eff), pool) if rerank else 0
+                    out = fused_pq(
+                        embedder.params, embedder.batch_stats,
+                        jnp.asarray(_resize_host(image, s)[None], jnp.float32),
+                        recon, rnorms, raw_d, k_eff, c_eff,
+                    )
+                    d, i, ok = jax.device_get(out)  # one host transfer
+                    d, i, ok = np.array(d), np.array(i), np.array(ok)
+                    i[~ok] = -1
+                    return index._finish(d, i, k)
+
+                return search
+
             if type(index) is IVFIndex:
                 # fuse embed + probed IVF scan into one jitted program —
                 # the unfused path pays two extra host hops (embeddings

@@ -362,6 +362,54 @@ def test_engine_cell_probe_unsharded_fused(corpus_dir):
     assert pred[0][0] < 0.05
 
 
+def test_engine_ivfpq_adc_fused_codes_only(corpus_dir):
+    # default (no rerank) IVFPQ flow: artifact is codes-only, the engine
+    # serves through the fused embed+PQ-scan program (resident bf16
+    # reconstruction table, one device round-trip per query)
+    from image_search_engine_tpu.index.ivf import IVFPQIndex
+    from image_search_engine_tpu.utils.imageio import load_image
+
+    cfg = _cfg(corpus_dir, method=Method.DNN, dnn_model=DnnModel.RESNET_TINY,
+               index_type=IndexType.IVFPQ, ivf_nlist=2, ivf_nprobe=2, pq_m=8)
+    indexer_main(cfg)
+    with np.load(cfg.dnn_index_path) as z:
+        assert "vectors" not in z.files  # compressed artifact: codes only
+
+    engine = QueryEngine(cfg)
+    assert isinstance(engine.index, IVFPQIndex)
+    assert engine.index.vectors is None
+
+    img = load_image(engine.paths[0])
+    pred = engine.query(img, k=3)
+    # ADC ranking: self-match on top (nprobe covers every cell here)
+    assert pred[0][2] == engine.paths[0]
+
+
+def test_engine_ivfpq_codes_only_rerank_warns(corpus_dir, caplog):
+    # an artifact that asks for rerank but carries no raw vectors must not
+    # crash serving: the engine warns once and falls back to ADC ranking
+    import logging as _logging
+
+    from image_search_engine_tpu.index.ivf import IVFPQIndex
+    from image_search_engine_tpu.utils.imageio import load_image
+
+    cfg = _cfg(corpus_dir, method=Method.DNN, dnn_model=DnnModel.RESNET_TINY,
+               index_type=IndexType.IVFPQ, ivf_nlist=2, ivf_nprobe=2, pq_m=8,
+               pq_rerank=8)
+    indexer_main(cfg)
+    # strip the raw vectors while keeping rerank in the artifact
+    idx = IVFPQIndex.load(cfg.dnn_index_path)
+    idx.vectors = None
+    idx.save(cfg.dnn_index_path, store_raw=False)
+
+    with caplog.at_level(_logging.WARNING, logger="image_search_engine_tpu.engine"):
+        engine = QueryEngine(cfg)
+    assert [r for r in caplog.records if "codes only" in r.message]
+    img = load_image(engine.paths[0])
+    pred = engine.query(img, k=3)
+    assert pred[0][2] == engine.paths[0]
+
+
 def test_engine_ivfpq_rerank_serves_exact_distances(corpus_dir):
     # --pq-rerank flow: the artifact keeps raw vectors, load restores the
     # rerank default, and served results are exact-ranked over the store
