@@ -18,10 +18,17 @@ in ``OP_PROBS``, sampled from the PRNG key — albumentations' ``p=``):
   ShiftScaleRotate(shift only .05, p=.5), SafeRotate(10deg, p=.1),
   OpticalDistortion(p=.5) — every geometric op pads WHITE (card images).
 
-The three affine ops (zoom-out, shift, rotate) compose into ONE matrix
-per image before sampling, so the batch pays a single bilinear resample
-for all of them; perspective and optical distortion are separate gated
-remap passes (they are not affine).
+ALL geometric ops compose into ONE bilinear resample: the three affine
+ops (zoom-out, shift, rotate) fold into a single matrix per image, and
+the perspective + optical-distortion coordinate maps are composed with
+it on the sampling GRID (the last image-space pass transforms the grid
+first), so the batch pays exactly one gather pass however many
+geometric ops fire. This matters: the bilinear gathers are the train
+step's dominant cost on TPU (XLA lowers fancy-index gathers to slow
+element gathers — the 3-pass version alone measured 349 ms at batch 32
+x 352x256, more than the whole DenseNet121 fwd+bwd; BENCH_NOTES
+"Device-side augmentation"). Composing maps instead of iterating
+resamples is also strictly sharper (one interpolation, not three).
 """
 
 from __future__ import annotations
@@ -108,6 +115,73 @@ def _affine_sample(img: jnp.ndarray, mat: jnp.ndarray, fill: float = 1.0) -> jnp
     return _remap(img, src_y, src_x, fill)
 
 
+_REMAP_CHUNK = 8  # images per gather (operand ~35 MB at 352x256 — past
+# that XLA's TPU gather falls off a ~3x cliff; benchmarks/remap_variants.py)
+
+
+def _remap_patch(imgs: jnp.ndarray, src_y: jnp.ndarray, src_x: jnp.ndarray,
+                 fill: float = 1.0) -> jnp.ndarray:
+    """Bilinear-sample a (B, H, W, C) batch at per-image (B, H, W) source
+    grids with ONE gather for all four corner taps: each row of the flat
+    operand holds the 2x2 edge-replicated patch at that pixel (4C
+    values), so the gather touches 4x fewer rows than tap-by-tap — and on
+    TPU a gathered row costs a full memory tile regardless of payload
+    (measured 3.6x: 51 -> 14 ms at batch 32 x 352x256,
+    benchmarks/remap_variants.py). Out-of-bounds fills WHITE (the
+    reference's card-image padding)."""
+    b, h, w, c = imgs.shape
+    right = jnp.concatenate([imgs[:, :, 1:], imgs[:, :, -1:]], axis=2)
+    down = jnp.concatenate([imgs[:, 1:], imgs[:, -1:]], axis=1)
+    dright = jnp.concatenate([down[:, :, 1:], down[:, :, -1:]], axis=2)
+    patches = jnp.concatenate([imgs, right, down, dright], axis=-1)
+    flat = patches.reshape(b * h * w, 4 * c)
+
+    y0 = jnp.floor(src_y).astype(jnp.int32)
+    x0 = jnp.floor(src_x).astype(jnp.int32)
+    wy = (src_y - y0)[..., None]
+    wx = (src_x - x0)[..., None]
+    yc = jnp.clip(y0, 0, h - 1)
+    xc = jnp.clip(x0, 0, w - 1)
+    base = (jnp.arange(b, dtype=jnp.int32) * (h * w))[:, None, None]
+    idx = (base + yc * w + xc).reshape(-1)
+    tap = jnp.take(flat, idx, axis=0).reshape(b, h, w, 4, c)
+    out = (
+        tap[..., 0, :] * ((1 - wy) * (1 - wx))
+        + tap[..., 1, :] * ((1 - wy) * wx)
+        + tap[..., 2, :] * (wy * (1 - wx))
+        + tap[..., 3, :] * (wy * wx)
+    )
+    inside = (
+        (src_y >= 0) & (src_y <= h - 1) & (src_x >= 0) & (src_x <= w - 1)
+    )[..., None]
+    return jnp.where(inside, out, fill)
+
+
+def _remap_batch(imgs: jnp.ndarray, src_y: jnp.ndarray, src_x: jnp.ndarray,
+                 fill: float = 1.0) -> jnp.ndarray:
+    """``_remap_patch`` over ``_REMAP_CHUNK``-image chunks: big batches
+    gather chunk-by-chunk so the flat operand stays below the TPU gather
+    cliff (batch 128 x 352x256: 603 -> 59 ms vs one global gather)."""
+    b, h, w, c = imgs.shape
+    nc = _REMAP_CHUNK
+    if b <= nc:
+        return _remap_patch(imgs, src_y, src_x, fill)
+    bp = ((b + nc - 1) // nc) * nc
+    if bp != b:
+        pad = bp - b
+        imgs = jnp.concatenate(
+            [imgs, jnp.zeros((pad, h, w, c), imgs.dtype)])
+        src_y = jnp.concatenate([src_y, jnp.zeros((pad, h, w), src_y.dtype)])
+        src_x = jnp.concatenate([src_x, jnp.zeros((pad, h, w), src_x.dtype)])
+    out = jax.lax.map(
+        lambda t: _remap_patch(*t, fill=fill),
+        (imgs.reshape(bp // nc, nc, h, w, c),
+         src_y.reshape(bp // nc, nc, h, w),
+         src_x.reshape(bp // nc, nc, h, w)),
+    ).reshape(bp, h, w, c)
+    return out[:b]
+
+
 def _box_blur(x: jnp.ndarray, ksize: int) -> jnp.ndarray:
     """Separable box blur over (B, H, W, C) with SAME edges (the
     reference's A.Blur is a normalized box filter)."""
@@ -188,7 +262,49 @@ def augment_batch(key: jax.Array, images: jnp.ndarray) -> jnp.ndarray:
     hole = (jnp.abs(gy - cy) < sz) & (jnp.abs(gx - cx) < sz)
     x = jnp.where(_g(gates, "coarse_dropout") & hole[..., None], 1.0, x)
 
-    # affine family, ONE composed matrix per image (white padding):
+    # ---- geometric family: everything composes into ONE resample ----
+    # Sequential image-space order is affine -> perspective -> optical
+    # distortion, so the output->source coordinate map composes in
+    # reverse: grid -> distortion map -> perspective map -> affine map,
+    # then a single bilinear sample. Ungated ops contribute exact-identity
+    # parameters (zero distortion / zero projective terms / identity
+    # matrix), so gating happens on the cheap (B,) parameter vectors, not
+    # on resampled images.
+    cyy, cxx = (h - 1) / 2.0, (w - 1) / 2.0
+    ys = jnp.arange(h, dtype=jnp.float32)
+    xs = jnp.arange(w, dtype=jnp.float32)
+    gy0, gx0 = jnp.meshgrid(ys, xs, indexing="ij")
+    gy = jnp.broadcast_to(gy0, (b, h, w))
+    gx = jnp.broadcast_to(gx0, (b, h, w))
+
+    # optical distortion (A.OpticalDistortion distort_limit .05, p=.5):
+    # radial barrel/pincushion about the center
+    kk = jnp.where(
+        gates["optical_distortion"],
+        jax.random.uniform(keys[13], (b,), minval=-0.05, maxval=0.05),
+        0.0,
+    )[:, None, None]
+    ny = (gy - cyy) / max(cyy, 1.0)
+    nx = (gx - cxx) / max(cxx, 1.0)
+    f = 1.0 + kk * (ny * ny + nx * nx)
+    gy = cyy + ny * f * cyy
+    gx = cxx + nx * f * cxx
+
+    # perspective (A.Perspective scale ~.05, p=.3): small projective
+    # terms about the image center
+    kp1, kp2 = jax.random.split(keys[12])
+    g_persp = gates["perspective"]
+    py = jnp.where(
+        g_persp, jax.random.uniform(kp1, (b,), minval=-0.1, maxval=0.1), 0.0
+    )[:, None, None] / max(h, 1)
+    px = jnp.where(
+        g_persp, jax.random.uniform(kp2, (b,), minval=-0.1, maxval=0.1), 0.0
+    )[:, None, None] / max(w, 1)
+    denom = 1.0 + py * (gy - cyy) + px * (gx - cxx)
+    gy = (gy - cyy) / denom + cyy
+    gx = (gx - cxx) / denom + cxx
+
+    # affine family, ONE composed matrix per image:
     #   zoom-out-only SSR (scale_limit (-0.1, 0), p=.5)
     #   shift-only SSR (shift_limit .05, p=.5)
     #   SafeRotate (limit 10deg, p=.1)
@@ -206,50 +322,22 @@ def augment_batch(key: jax.Array, images: jnp.ndarray) -> jnp.ndarray:
         ty = jnp.where(gs, jax.random.uniform(k3, (), minval=-0.05, maxval=0.05) * h, 0.0)
         tx = jnp.where(gs, jax.random.uniform(k4, (), minval=-0.05, maxval=0.05) * w, 0.0)
         inv = 1.0 / s
-        cyy, cxx = (h - 1) / 2.0, (w - 1) / 2.0
         cos_t, sin_t = jnp.cos(theta) * inv, jnp.sin(theta) * inv
         m02 = cyy - cos_t * cyy + sin_t * cxx + ty
         m12 = cxx - sin_t * cyy - cos_t * cxx + tx
         return jnp.array([[cos_t, -sin_t, m02], [sin_t, cos_t, m12]])
 
-    mats = jax.vmap(make_mat)(akeys, g_zoom, g_shift, g_rot)
-    any_affine = (g_zoom | g_shift | g_rot)[:, None, None, None]
-    warped = jax.vmap(_affine_sample, in_axes=(0, 0))(x, mats)
-    x = jnp.where(any_affine, warped, x)
+    mats = jax.vmap(make_mat)(akeys, g_zoom, g_shift, g_rot)  # (B, 2, 3)
+    m = mats[:, :, :, None, None]  # (B, 2, 3, 1, 1)
+    gy, gx = (
+        m[:, 0, 0] * gy + m[:, 0, 1] * gx + m[:, 0, 2],
+        m[:, 1, 0] * gy + m[:, 1, 1] * gx + m[:, 1, 2],
+    )
 
-    # perspective (A.Perspective scale ~.05, white padding, p=.3)
-    ys = jnp.arange(h, dtype=jnp.float32)
-    xs = jnp.arange(w, dtype=jnp.float32)
-    gy_f, gx_f = jnp.meshgrid(ys, xs, indexing="ij")
-
-    def perspective_one(img, k):
-        k1, k2 = jax.random.split(k)
-        # small projective terms about the image center
-        py = jax.random.uniform(k1, (), minval=-0.1, maxval=0.1) / max(h, 1)
-        px = jax.random.uniform(k2, (), minval=-0.1, maxval=0.1) / max(w, 1)
-        cyy, cxx = (h - 1) / 2.0, (w - 1) / 2.0
-        denom = 1.0 + py * (gy_f - cyy) + px * (gx_f - cxx)
-        src_y = (gy_f - cyy) / denom + cyy
-        src_x = (gx_f - cxx) / denom + cxx
-        return _remap(img, src_y, src_x)
-
-    pkeys = jax.random.split(keys[12], b)
-    persp = jax.vmap(perspective_one)(x, pkeys)
-    x = jnp.where(_g(gates, "perspective"), persp, x)
-
-    # optical distortion (A.OpticalDistortion distort_limit .05, p=.5):
-    # radial barrel/pincushion about the center, white padding
-    def distort_one(img, k):
-        kk = jax.random.uniform(k, (), minval=-0.05, maxval=0.05)
-        cyy, cxx = (h - 1) / 2.0, (w - 1) / 2.0
-        ny = (gy_f - cyy) / max(cyy, 1.0)
-        nx = (gx_f - cxx) / max(cxx, 1.0)
-        r2 = ny * ny + nx * nx
-        f = 1.0 + kk * r2
-        return _remap(img, cyy + ny * f * cyy, cxx + nx * f * cxx)
-
-    dkeys = jax.random.split(keys[13], b)
-    dist = jax.vmap(distort_one)(x, dkeys)
-    x = jnp.where(_g(gates, "optical_distortion"), dist, x)
+    any_geo = (
+        g_zoom | g_shift | g_rot | g_persp | gates["optical_distortion"]
+    )[:, None, None, None]
+    warped = _remap_batch(x, gy, gx)
+    x = jnp.where(any_geo, warped, x)
 
     return jnp.clip(x, 0.0, 1.0)

@@ -87,8 +87,20 @@ class SiameseConfig:
     n_results: int = 9  # :98
     seed: int = 0
 
+    # forward/backward compute precision. Params, optimizer state, batch
+    # stats, and the loss stay f32 (the head casts embeddings back to f32,
+    # model.py); "bf16" runs the conv stacks on the MXU at its native
+    # precision — measured 1.4x faster per step head-only and 1.9x with
+    # the backbone unfrozen at reference geometry, with loss parity
+    # (BENCH_NOTES "Training-step throughput").
+    compute_dtype: str = "bf16"  # "bf16" | "f32"
+
     def __post_init__(self) -> None:
         self.train_dir = Path(self.train_dir)
         self.valid_dir = Path(self.valid_dir)
         self.ckpt_dir = Path(self.ckpt_dir)
         self.log_file = Path(self.log_file)
+        if self.compute_dtype not in ("bf16", "f32"):
+            raise ValueError(
+                f"compute_dtype must be 'bf16' or 'f32', got {self.compute_dtype!r}"
+            )

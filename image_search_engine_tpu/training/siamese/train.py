@@ -97,6 +97,8 @@ class Trainer:
             embedding_dim=cfg.embedding_dim,
             freeze_backbone=cfg.freeze_backbone,
             backbone=cfg.backbone,
+            # compute precision only: params/opt-state/loss stay f32
+            dtype=jnp.bfloat16 if cfg.compute_dtype == "bf16" else jnp.float32,
         )
         h, w = cfg.image_size
         dummy = jnp.zeros((1, h, w, 3), jnp.float32)
@@ -343,6 +345,9 @@ def main(argv=None) -> None:
     ap.add_argument("--unfreeze-backbone", action="store_true",
                     help="train the backbone too (default: head only, like "
                     "the reference's FREEZE_BACKBONE)")
+    ap.add_argument("--compute-dtype", default="bf16", choices=["bf16", "f32"],
+                    help="forward/backward compute precision (params, "
+                         "optimizer state and loss stay f32 either way)")
     ap.add_argument("--sharded", type=int, nargs="?", const=0, default=None,
                     metavar="N",
                     help="data-parallel over a 1-D mesh of the first N "
@@ -353,6 +358,7 @@ def main(argv=None) -> None:
         loss=a.loss, epochs=a.epochs, batch_size=a.batch_size, backbone=a.backbone,
         image_size=tuple(a.image_size), embedding_dim=a.embedding_dim, lr=a.lr,
         freeze_backbone=not a.unfreeze_backbone, torch_weights=a.torch_weights,
+        compute_dtype=a.compute_dtype,
     )
     mesh = None
     if a.sharded is not None:

@@ -255,3 +255,33 @@ def test_trainer_embed_uint8_matches_f32(card_corpus, rng):
     a = tr.embed(u8, batch_size=4)
     b = tr.embed(u8.astype(np.float32) / 255.0, batch_size=4)
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_compute_dtype_bf16_parity_and_f32_state(card_corpus, rng):
+    """compute_dtype="bf16" (the default) changes only the forward/backward
+    compute precision: params/opt-state stay f32, the loss stays f32 and
+    tracks the f32-compute loss, and one train step moves the params."""
+    import jax.random as jrandom
+
+    a = rng.random((4, 32, 32, 3)).astype(np.float32)
+    n = rng.random((4, 32, 32, 3)).astype(np.float32)
+    losses = {}
+    for cd in ("bf16", "f32"):
+        cfg = _tiny_cfg(card_corpus, loss="triplet", compute_dtype=cd)
+        tr = Trainer(cfg)
+        assert all(l.dtype == np.float32
+                   for l in jax.tree_util.tree_leaves(tr.params))
+        p, bs, opt, loss = tr._train_step(
+            tr.params, tr.batch_stats, tr.opt_state, jrandom.PRNGKey(0),
+            jnp.asarray(a), jnp.asarray(n))
+        assert loss.dtype == jnp.float32
+        assert all(l.dtype == np.float32 for l in jax.tree_util.tree_leaves(p))
+        losses[cd] = float(loss)
+    # same init (same seed) -> bf16 compute tracks the f32 loss closely
+    assert np.isfinite(losses["bf16"]) and np.isfinite(losses["f32"])
+    assert abs(losses["bf16"] - losses["f32"]) < 0.05 * (abs(losses["f32"]) + 1.0)
+
+
+def test_compute_dtype_rejects_unknown(card_corpus):
+    with pytest.raises(ValueError, match="compute_dtype"):
+        _tiny_cfg(card_corpus, compute_dtype="fp8")
