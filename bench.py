@@ -117,8 +117,12 @@ def main() -> None:
         # queries (benchmarks/fused_production.py). The runtime exactness
         # certificate is ON — per-dispatch machine-checked exactness at
         # 0.76% cost (benchmarks/certificate_cost.py).
+        # qb=32 packs more query rows per fused-rescore grid step: +2.6%
+        # at this batched point (benchmarks/qb_sweep.py, identical ids).
+        # The library default stays 8 — single-query dispatches pad Q up
+        # to qb rows, so 32 would cost the latency path 4x wasted DMAs.
         return topk_twophase(q, x, K, "l2", x_norms=xn, tile_n=4096,
-                             t_margin=2, interpret=not on_tpu,
+                             t_margin=2, interpret=not on_tpu, qb=32,
                              with_certificate=True)
 
     # RTT: tiny op + readback

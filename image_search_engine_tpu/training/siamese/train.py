@@ -61,19 +61,76 @@ log = logging.getLogger(__name__)
 
 
 class AverageMeter:
-    """Running mean (reference siamese_pt/train.py:155-180)."""
+    """Running mean (reference siamese_pt/train.py:155-180).
+
+    ``update`` accepts device scalars without forcing them: the sum chains
+    lazily on the device stream, so the train loop never blocks on a
+    per-step loss readback (30 ms RTT on a remote tunnel, and a pipeline
+    barrier anywhere). ``avg`` performs the one synchronizing readback.
+    """
 
     def __init__(self):
         self.sum = 0.0
         self.count = 0
 
-    def update(self, value: float, n: int = 1) -> None:
-        self.sum += value * n
+    def update(self, value, n: int = 1) -> None:
+        self.sum = self.sum + value * n
         self.count += n
 
     @property
     def avg(self) -> float:
-        return self.sum / max(self.count, 1)
+        return float(self.sum) / max(self.count, 1)
+
+
+_PREFETCH_DONE = object()
+
+
+class Prefetcher:
+    """Background-thread batch prefetch: the host decodes batch i+1 while
+    the device runs step i (the reference leaned on tf.data/DataLoader
+    workers for this; here one daemon thread + a bounded queue keeps the
+    jitted step fed). ``stop()`` is interrupt-safe — the thread parks on
+    bounded puts and re-checks the stop flag, so Ctrl-C never hangs."""
+
+    def __init__(self, iterator, depth: int = 2):
+        import queue
+        import threading
+
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._stop = threading.Event()
+
+        def run():
+            try:
+                for item in iterator:
+                    while not self._stop.is_set():
+                        try:
+                            self._q.put(item, timeout=0.25)
+                            break
+                        except queue.Full:
+                            continue
+                    if self._stop.is_set():
+                        return
+                self._q.put(_PREFETCH_DONE)
+            except BaseException as e:  # surface decode errors to consumer
+                self._q.put(e)
+
+        self._thread = threading.Thread(
+            target=run, daemon=True, name="batch-prefetch")
+        self._thread.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is _PREFETCH_DONE:
+            raise StopIteration
+        if isinstance(item, BaseException):
+            raise item
+        return item
+
+    def stop(self) -> None:
+        self._stop.set()
 
 
 def make_loss_fn(cfg: SiameseConfig):
@@ -253,8 +310,9 @@ class Trainer:
         self.maybe_resume()
 
         key = jax.random.PRNGKey(cfg.seed + 17)
-        train_iter = iter(train_gen)
-        valid_iter = iter(valid_gen)
+        # host decode of batch i+1 overlaps device step i
+        train_iter = Prefetcher(iter(train_gen))
+        valid_iter = Prefetcher(iter(valid_gen))
         plateau = 0
         history = []
         cfg.log_file.parent.mkdir(parents=True, exist_ok=True)
@@ -271,16 +329,17 @@ class Trainer:
                         self.params, self.batch_stats, self.opt_state, sub,
                         anchors, negatives,
                     )
-                    meter.update(float(loss))
+                    # lazy device scalar: no per-step readback barrier
+                    meter.update(loss)
 
                 vmeter = AverageMeter()
                 for _ in range(val_steps):
                     key, sub = jax.random.split(key)
                     anchors, negatives = next(valid_iter)
                     anchors, negatives = self._shard_batch(anchors, negatives)
-                    vmeter.update(float(self._eval_step(
+                    vmeter.update(self._eval_step(
                         self.params, self.batch_stats, sub, anchors, negatives
-                    )))
+                    ))
 
                 rec = {
                     "epoch": epoch, "loss": meter.avg, "val_loss": vmeter.avg,
@@ -305,6 +364,9 @@ class Trainer:
                         plateau = 0
         except KeyboardInterrupt:  # graceful stop (reference train.py:146-147)
             log.info("interrupted at epoch boundary; latest best val %.4f", self.best_val)
+        finally:
+            train_iter.stop()
+            valid_iter.stop()
 
         return {"best_val": self.best_val, "history": history}
 

@@ -285,3 +285,43 @@ def test_compute_dtype_bf16_parity_and_f32_state(card_corpus, rng):
 def test_compute_dtype_rejects_unknown(card_corpus):
     with pytest.raises(ValueError, match="compute_dtype"):
         _tiny_cfg(card_corpus, compute_dtype="fp8")
+
+
+def test_prefetcher_order_errors_and_stop():
+    from image_search_engine_tpu.training.siamese.train import Prefetcher
+
+    # order-preserving and exhaustion-safe
+    pf = Prefetcher(iter(range(10)), depth=2)
+    assert list(pf) == list(range(10))
+
+    # an iterator error surfaces at the consumer, not in the thread
+    def boom():
+        yield 1
+        raise RuntimeError("decode failed")
+
+    pf = Prefetcher(boom(), depth=2)
+    assert next(pf) == 1
+    with pytest.raises(RuntimeError, match="decode failed"):
+        next(pf)
+
+    # stop() unblocks a producer parked on a full queue (no hang)
+    import itertools
+    pf = Prefetcher(itertools.count(), depth=1)
+    assert next(pf) == 0
+    pf.stop()
+    pf._thread.join(timeout=5.0)
+    assert not pf._thread.is_alive()
+
+
+def test_average_meter_accepts_device_scalars():
+    from image_search_engine_tpu.training.siamese.train import AverageMeter
+
+    m = AverageMeter()
+    m.update(jnp.asarray(2.0))
+    m.update(jnp.asarray(4.0), n=3)
+    assert isinstance(m.avg, float)
+    assert abs(m.avg - (2.0 + 12.0) / 4) < 1e-6
+    # plain floats still work (reference semantics)
+    m2 = AverageMeter()
+    m2.update(1.0)
+    assert m2.avg == 1.0
