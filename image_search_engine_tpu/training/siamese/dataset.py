@@ -16,7 +16,7 @@ from typing import Iterator, List, Sequence, Tuple
 
 import numpy as np
 
-from image_search_engine_tpu.utils.imageio import get_image_paths, load_image
+from image_search_engine_tpu.utils.imageio import get_image_paths, load_image_u8
 
 
 class PairsGenerator:
@@ -56,9 +56,12 @@ class PairsGenerator:
                 negative_idx = (anchor_idx + offset) % n
                 idx = np.concatenate([anchor_idx, negative_idx])
                 # decode the whole pair batch in parallel threads (the PIL
-                # decode releases the GIL); keeps the device fed
+                # decode releases the GIL); keeps the device fed. Batches
+                # stay uint8 on the host — 4x lighter uploads; the train
+                # step casts to [0,1] f32 on device (ops/image_ops.
+                # to_unit_f32, same convention as the corpus path)
                 imgs = list(pool.map(
-                    lambda i: load_image(self.paths[i], self.image_size), idx
+                    lambda i: load_image_u8(self.paths[i], self.image_size), idx
                 ))
                 both = np.stack(imgs)
                 yield both[: self.batch_size], both[self.batch_size :]

@@ -192,6 +192,13 @@ class Trainer:
         model, loss_fn = self.model, self._loss_fn
 
         def forward(params, batch_stats, key, anchors, negatives, train: bool):
+            from image_search_engine_tpu.ops.image_ops import to_unit_f32
+
+            # training batches travel uint8 (4x lighter host->device
+            # upload, same convention as the corpus path) and cast to
+            # [0,1] f32 on device; f32 input passes through unchanged
+            anchors = to_unit_f32(anchors)
+            negatives = to_unit_f32(negatives)
             akey, dkey = jax.random.split(key)
             positives = augment_batch(akey, anchors)
             variables = {"params": params, "batch_stats": batch_stats}

@@ -325,3 +325,31 @@ def test_average_meter_accepts_device_scalars():
     m2 = AverageMeter()
     m2.update(1.0)
     assert m2.avg == 1.0
+
+
+def test_train_step_uint8_matches_f32(card_corpus, rng):
+    """Training batches travel uint8 (4x lighter uploads) and cast to
+    [0,1] f32 on device — one step from the same init must produce the
+    same loss either way (CLAUDE.md uint8-transfer invariant)."""
+    import jax.random as jrandom
+
+    a8 = (rng.random((4, 32, 32, 3)) * 255).astype(np.uint8)
+    n8 = (rng.random((4, 32, 32, 3)) * 255).astype(np.uint8)
+    losses = []
+    for batches in ((a8, n8), (a8.astype(np.float32) / 255.0,
+                               n8.astype(np.float32) / 255.0)):
+        tr = Trainer(_tiny_cfg(card_corpus, loss="triplet"))  # same seed/init
+        _, _, _, loss = tr._train_step(
+            tr.params, tr.batch_stats, tr.opt_state, jrandom.PRNGKey(0),
+            jnp.asarray(batches[0]), jnp.asarray(batches[1]))
+        losses.append(float(loss))
+    assert abs(losses[0] - losses[1]) < 1e-6 * (abs(losses[1]) + 1.0)
+
+
+def test_pairs_generator_yields_uint8(card_corpus):
+    from image_search_engine_tpu.training.siamese.dataset import PairsGenerator
+
+    gen = PairsGenerator.from_dir(card_corpus / "train", 2, (32, 32))
+    anchors, negatives = next(iter(gen))
+    assert anchors.dtype == np.uint8 and negatives.dtype == np.uint8
+    assert anchors.shape == (2, 32, 32, 3)
