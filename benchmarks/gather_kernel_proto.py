@@ -42,7 +42,7 @@ def build(N, D, tile_n, t_margin, interpret, QB=8, phase1_only=False):
     GROUP = tp.GROUP
     global _POS_INF
     _POS_INF = float("inf")
-    npad = tp._round_up(N, tile_n)
+    npad = tp.round_up(N, tile_n)
     ngroups = npad // GROUP
     t = K + t_margin
 
@@ -75,8 +75,8 @@ def build(N, D, tile_n, t_margin, interpret, QB=8, phase1_only=False):
     @jax.jit
     def twophase_fused(q, x, xnorms):
         qn_rows, d = q.shape
-        dp = tp._round_up(d, 128)
-        qp = tp._round_up(qn_rows, max(16, QB))
+        dp = tp.round_up(d, 128)
+        qp = tp.round_up(qn_rows, max(16, QB))
         qf = jnp.pad(q.astype(x.dtype), ((0, qp - qn_rows), (0, dp - d)))
         xf = jnp.pad(x, ((0, npad - N), (0, dp - d)))
         norms = jnp.pad(xnorms, (0, npad - N), constant_values=PAD_NORM)

@@ -33,7 +33,7 @@ def build_variant(N, D, tile_n, t_margin, *, QB=8, select="exact",
 
     GROUP = tp.GROUP
     POS_INF = float("inf")
-    npad = tp._round_up(N, tile_n)
+    npad = tp.round_up(N, tile_n)
     ngroups = npad // GROUP
     t = K + t_margin
 
@@ -60,8 +60,8 @@ def build_variant(N, D, tile_n, t_margin, *, QB=8, select="exact",
     @jax.jit
     def fn(q, x, xnorms):
         qn_rows, d = q.shape
-        dp = tp._round_up(d, 128)
-        qp = tp._round_up(qn_rows, max(16, QB))
+        dp = tp.round_up(d, 128)
+        qp = tp.round_up(qn_rows, max(16, QB))
         qf = jnp.pad(q.astype(x.dtype), ((0, qp - qn_rows), (0, dp - d)))
         xf = jnp.pad(x, ((0, npad - N), (0, dp - d)))
         norms = jnp.pad(xnorms, (0, npad - N), constant_values=PAD_NORM)

@@ -51,7 +51,7 @@ def main():
     qh = rng.standard_normal((ITERS, Q, D)).astype(np.float32)
     qs = [jnp.asarray(qh[i]) for i in range(ITERS)]
 
-    npad = tp._round_up(N, TILE_N)
+    npad = tp.round_up(N, TILE_N)
     ngroups = npad // GROUP
 
     def build(sup_margin, t_margin):
@@ -64,8 +64,8 @@ def main():
         @jax.jit
         def fn(q):
             qn_rows, d = q.shape
-            dp = tp._round_up(d, 128)
-            qp = tp._round_up(qn_rows, 16)
+            dp = tp.round_up(d, 128)
+            qp = tp.round_up(qn_rows, 16)
             qb = 8
             qf = jnp.pad(q.astype(jnp.bfloat16), ((0, qp - qn_rows), (0, dp - d)))
             xf = jnp.pad(x, ((0, npad - N), (0, dp - d)))

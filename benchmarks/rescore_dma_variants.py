@@ -56,15 +56,15 @@ def twophase_cross_only(q, x, k, *, x_norms, tile_n, t_margin, qb):
     from jax.experimental.pallas import tpu as pltpu
 
     from image_search_engine_tpu.ops.topk_pallas import (
-        GROUP, _groupmin_kernel, _round_up)
+        GROUP, _groupmin_kernel, round_up)
     from image_search_engine_tpu.parallel.topk import PAD_NORM
 
     qn_rows, d = q.shape
     n = x.shape[0]
-    dp = _round_up(d, 128)
-    qp = _round_up(_round_up(qn_rows, 16), qb)
-    tile_n = _round_up(tile_n, 8 * GROUP)
-    npad = _round_up(n, tile_n)
+    dp = round_up(d, 128)
+    qp = round_up(round_up(qn_rows, 16), qb)
+    tile_n = round_up(tile_n, 8 * GROUP)
+    npad = round_up(n, tile_n)
     ngroups = npad // GROUP
 
     qf = jnp.pad(q.astype(jnp.bfloat16), ((0, qp - qn_rows), (0, dp - d)))
@@ -90,7 +90,7 @@ def twophase_cross_only(q, x, k, *, x_norms, tile_n, t_margin, qb):
     )(qf, norms, xf).T  # (Qp, ngroups)
 
     t = min(k + t_margin, ngroups)
-    qp2 = min(qp, _round_up(qn_rows, qb))
+    qp2 = min(qp, round_up(qn_rows, qb))
     _, cand_groups = jax.lax.top_k(-mins[:qp2], t)  # (Qp2, t)
     cand_flat = cand_groups.reshape(-1).astype(jnp.int32)
 

@@ -58,14 +58,14 @@ def main():
 
     GROUP = tp.GROUP
     tile_n = 4096
-    npad = tp._round_up(N, tile_n)
+    npad = tp.round_up(N, tile_n)
     ngroups = npad // GROUP
 
     @functools.partial(jax.jit, static_argnames=("t_margin", "bf16_rescore"))
     def twophase_var(q, x, xnorms, *, t_margin, bf16_rescore):
         qn_rows, d = q.shape
-        dp = tp._round_up(d, 128)
-        qp = tp._round_up(qn_rows, 16)
+        dp = tp.round_up(d, 128)
+        qp = tp.round_up(qn_rows, 16)
         qf = jnp.pad(q.astype(jnp.bfloat16), ((0, qp - qn_rows), (0, dp - d)))
         xf = jnp.pad(x, ((0, npad - N), (0, dp - d)))
         from image_search_engine_tpu.parallel.topk import PAD_NORM

@@ -56,7 +56,7 @@ def main():
                               for a, b in zip(got.tolist(), ref_i.tolist())]))
 
     tile_n = 4096
-    npad = tp._round_up(N, tile_n)
+    npad = tp.round_up(N, tile_n)
 
     def groupmin_kernel(q_ref, xn_ref, x_ref, out_ref, *, tile_n, group):
         prec = None  # bf16 operands: native MXU path
@@ -74,8 +74,8 @@ def main():
     @functools.partial(jax.jit, static_argnames=("t_margin", "group"))
     def twophase_var(q, x, xnorms, *, t_margin, group):
         qn_rows, d = q.shape
-        dp = tp._round_up(d, 128)
-        qp = tp._round_up(qn_rows, 16)
+        dp = tp.round_up(d, 128)
+        qp = tp.round_up(qn_rows, 16)
         ngroups = npad // group
         qf = jnp.pad(q.astype(jnp.bfloat16), ((0, qp - qn_rows), (0, dp - d)))
         xf = jnp.pad(x, ((0, npad - N), (0, dp - d)))

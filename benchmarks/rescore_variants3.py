@@ -61,7 +61,7 @@ def main():
                               for a, b in zip(got.tolist(), ref_i.tolist())]))
 
     tile_n = 4096
-    npad = tp._round_up(N, tile_n)
+    npad = tp.round_up(N, tile_n)
     GROUP = 128
     ngroups = npad // GROUP
 
@@ -69,8 +69,8 @@ def main():
     @functools.partial(jax.jit, static_argnames=("t_margin",))
     def twophase_bf16(q, x, xnorms, *, t_margin):
         qn_rows, d = q.shape
-        dp = tp._round_up(d, 128)
-        qp = tp._round_up(qn_rows, 16)
+        dp = tp.round_up(d, 128)
+        qp = tp.round_up(qn_rows, 16)
         qf = jnp.pad(q.astype(jnp.bfloat16), ((0, qp - qn_rows), (0, dp - d)))
         xf = jnp.pad(x, ((0, npad - N), (0, dp - d)))
         norms = jnp.pad(xnorms, (0, npad - N), constant_values=PAD_NORM)
@@ -107,8 +107,8 @@ def main():
     @functools.partial(jax.jit, static_argnames=("t_margin",))
     def twophase_int8(q, codes, scales, xnorms, *, t_margin):
         qn_rows, d = q.shape
-        dp = tp._round_up(d, 128)
-        qp = tp._round_up(qn_rows, 128)
+        dp = tp.round_up(d, 128)
+        qp = tp.round_up(qn_rows, 128)
         q32 = q.astype(jnp.float32)
         sq = jnp.maximum(jnp.max(jnp.abs(q32), axis=1), 1e-12) / 127.0
         q_int = jnp.clip(jnp.round(q32 / sq[:, None]), -127, 127).astype(jnp.int8)

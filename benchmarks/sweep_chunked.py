@@ -47,7 +47,7 @@ def main():
     qh = rng.standard_normal((ITERS, Q, D)).astype(np.float32)
     qs = [jnp.asarray(qh[i]) for i in range(ITERS)]
 
-    npad = tp._round_up(N, TILE_N)
+    npad = tp.round_up(N, TILE_N)
     ngroups = npad // GROUP
 
     def chunked_kernel(q_ref, xn_ref, x_ref, out_ref, *, tile_n, chunk):
@@ -66,8 +66,8 @@ def main():
         @jax.jit
         def sweep(q, xf, norms):
             qn_rows, d = q.shape
-            dp = tp._round_up(d, 128)
-            qp = tp._round_up(qn_rows, 16)
+            dp = tp.round_up(d, 128)
+            qp = tp.round_up(qn_rows, 16)
             qf = jnp.pad(q.astype(jnp.bfloat16), ((0, qp - qn_rows), (0, dp - d)))
             vmem = min(int(1.5 * (qp * TILE_N * 4 + 2 * TILE_N * dp * 2
                                   + qp * dp * 4)) + (1 << 20), 112 << 20)

@@ -64,6 +64,43 @@ def _resize_host(image: np.ndarray, size: int) -> np.ndarray:
     return np.asarray(im, np.float32) / 255.0
 
 
+def _make_embed_fn(embedder, size: int, normalize: bool):
+    """Shared embed prologue for the fused serving programs — flat, IVF
+    and IVFPQ all jit the same preprocess -> backbone -> optional
+    l2-normalize chain; one definition keeps the three paths from
+    silently diverging. The returned fn is traced INSIDE each caller's
+    jit (params/batch_stats/images are its arguments, never closures)."""
+    from image_search_engine_tpu.ops.distances import l2_normalize
+    from image_search_engine_tpu.ops.image_ops import preprocess_for_cnn
+
+    model = embedder.model
+    norm_name = embedder.norm_name
+
+    def embed(params, batch_stats, images):
+        x = preprocess_for_cnn(images, size, norm=norm_name)
+        variables = {"params": params}
+        if batch_stats is not None:
+            variables["batch_stats"] = batch_stats
+        emb = model.apply(variables, x, train=False)
+        if normalize:
+            emb = l2_normalize(emb)
+        return emb
+
+    return embed
+
+
+def _fused_finish(index, out, k: int):
+    """Shared IVF/IVFPQ fused-path epilogue: ONE host transfer covering
+    (d, i, ok), invalid slots to -1, then the index's Faiss-shaped
+    finish (sort stability / k padding)."""
+    import jax
+
+    d, i, ok = jax.device_get(out)  # one host transfer
+    d, i, ok = np.array(d), np.array(i), np.array(ok)
+    i[~ok] = -1
+    return index._finish(d, i, k)
+
+
 class QueryEngine:
     """Image -> ranked (distance, path) results for one configured method."""
 
@@ -132,29 +169,19 @@ class QueryEngine:
                 import jax
                 import jax.numpy as jnp
 
-                from image_search_engine_tpu.ops.distances import l2_normalize
-                from image_search_engine_tpu.ops.image_ops import preprocess_for_cnn
                 from image_search_engine_tpu.parallel.topk import local_topk_with_norms
 
-                model = embedder.model
                 search_metric = "ip" if index.metric in ("ip", "cosine") else index.metric
                 normalize = index.metric == "cosine"
                 store_v, store_n = index.store.vectors, index.store.norms
                 store_s = index.store.scales
                 n_valid = index.store.n
-
-                norm_name = embedder.norm_name
+                embed = _make_embed_fn(embedder, s, normalize)
 
                 @_ft.partial(jax.jit, static_argnames=("k", "t_margin"))
                 def fused(params, batch_stats, images, store, norms, scales, k,
                           t_margin=None):
-                    x = preprocess_for_cnn(images, s, norm=norm_name)
-                    variables = {"params": params}
-                    if batch_stats is not None:
-                        variables["batch_stats"] = batch_stats
-                    emb = model.apply(variables, x, train=False)
-                    if normalize:
-                        emb = l2_normalize(emb)
+                    emb = embed(params, batch_stats, images)
                     # the exactness certificate rides along in the same
                     # device->host transfer as the results (host-side
                     # escalation: data-dependent control flow can't live
@@ -238,11 +265,8 @@ class QueryEngine:
 
                 from image_search_engine_tpu.index.ivf import (
                     _exact_rescore, _pq_reconstruct_table)
-                from image_search_engine_tpu.ops.distances import l2_normalize
-                from image_search_engine_tpu.ops.image_ops import preprocess_for_cnn
                 from image_search_engine_tpu.ops.ivf_pallas import ivf_probed_topk
 
-                model = embedder.model
                 normalize = index.metric == "cosine"
                 nprobe = index._effective_nprobe()
                 max_list = index.lists.shape[1]
@@ -259,18 +283,12 @@ class QueryEngine:
                         "vectors)", rerank)
                     rerank = 0
                 raw_d = index._device_raw() if rerank else None
-                norm_name3 = embedder.norm_name
+                embed = _make_embed_fn(embedder, s, normalize)
 
                 @_ft.partial(jax.jit, static_argnames=("k", "c"))
                 def fused_pq(params, batch_stats, images, recon_t, rnorms_t,
                              raw_t, k, c):
-                    x = preprocess_for_cnn(images, s, norm=norm_name3)
-                    variables = {"params": params}
-                    if batch_stats is not None:
-                        variables["batch_stats"] = batch_stats
-                    emb = model.apply(variables, x, train=False)
-                    if normalize:
-                        emb = l2_normalize(emb)
+                    emb = embed(params, batch_stats, images)
                     out = ivf_probed_topk(emb, bcents, recon_t, rnorms_t,
                                           lists_d, c if c else k, nprobe)
                     if c:
@@ -285,10 +303,7 @@ class QueryEngine:
                         jnp.asarray(_resize_host(image, s)[None], jnp.float32),
                         recon, rnorms, raw_d, k_eff, c_eff,
                     )
-                    d, i, ok = jax.device_get(out)  # one host transfer
-                    d, i, ok = np.array(d), np.array(i), np.array(ok)
-                    i[~ok] = -1
-                    return index._finish(d, i, k)
+                    return _fused_finish(index, out, k)
 
                 return search
 
@@ -303,27 +318,23 @@ class QueryEngine:
                 import jax.numpy as jnp
 
                 from image_search_engine_tpu.index.ivf import _ivf_search_kernel
-                from image_search_engine_tpu.ops.distances import l2_normalize
-                from image_search_engine_tpu.ops.image_ops import preprocess_for_cnn
 
-                model = embedder.model
                 normalize = index.metric == "cosine"
                 nprobe = index._effective_nprobe()
                 max_list = index.lists.shape[1]
                 bcents, lists_d, valid_d, packed_d, pnorms_d = index._device_arrays()
-                norm_name2 = embedder.norm_name
+                embed = _make_embed_fn(embedder, s, normalize)
 
+                # packed_d is the full packed vector table (~N*d*4 bytes —
+                # GBs at 1M); it MUST ride as a jit ARGUMENT, not a closure,
+                # or it gets baked into the shipped program as a constant
+                # (remote_compile rejects ~512 MB constants; see fused_pq).
                 @_ft.partial(jax.jit, static_argnames=("k",))
-                def fused_ivf(params, batch_stats, images, k):
-                    x = preprocess_for_cnn(images, s, norm=norm_name2)
-                    variables = {"params": params}
-                    if batch_stats is not None:
-                        variables["batch_stats"] = batch_stats
-                    emb = model.apply(variables, x, train=False)
-                    if normalize:
-                        emb = l2_normalize(emb)
+                def fused_ivf(params, batch_stats, images, packed_t,
+                              pnorms_t, k):
+                    emb = embed(params, batch_stats, images)
                     return _ivf_search_kernel(
-                        emb, bcents, lists_d, valid_d, packed_d, pnorms_d,
+                        emb, bcents, lists_d, valid_d, packed_t, pnorms_t,
                         k, nprobe, max_list,
                     )
 
@@ -332,12 +343,9 @@ class QueryEngine:
                     out = fused_ivf(
                         embedder.params, embedder.batch_stats,
                         jnp.asarray(_resize_host(image, s)[None], jnp.float32),
-                        k_eff,
+                        packed_d, pnorms_d, k_eff,
                     )
-                    d, i, ok = jax.device_get(out)  # one host transfer
-                    d, i, ok = np.array(d), np.array(i), np.array(ok)
-                    i[~ok] = -1
-                    return index._finish(d, i, k)
+                    return _fused_finish(index, out, k)
 
                 return search
 

@@ -107,19 +107,21 @@ class FlatIndex:
             use_pallas = False  # fused-kernel k cap; XLA scan handles any k
         WIDE = 32  # escalation margin for certificate violations
         if self.mesh is not None:
-            out = distributed_topk(
+            # one device_get covers results AND certificate (a separate
+            # certificate readback would double the per-call tunnel RTT)
+            d, i, ok = jax.device_get(distributed_topk(
                 q, self.store.vectors, self.store.norms, k_eff, search_metric,
                 self.mesh, self.axis, use_pallas=use_pallas,
                 scales_sharded=self.store.scales, with_certificate=True,
-            )
-            if not bool(np.asarray(out[2]).all()):
+            ))
+            if not ok.all():
                 out = distributed_topk(
                     q, self.store.vectors, self.store.norms, k_eff,
                     search_metric, self.mesh, self.axis, use_pallas=use_pallas,
                     scales_sharded=self.store.scales, with_certificate=True,
                     t_margin=WIDE,
                 )
-            d, i = out[0], out[1]
+                d, i = jax.device_get((out[0], out[1]))
         else:
             if use_pallas is None:
                 use_pallas = jax.default_backend() == "tpu"
@@ -138,7 +140,9 @@ class FlatIndex:
                     q, self.store.vectors, self.store.norms, k_eff,
                     search_metric, False, scales=self.store.scales,
                 )
-        d, i = jax.device_get((d, i))  # one RTT for both outputs
+        # Pallas/mesh branches already fetched above (one RTT including the
+        # certificate); this only transfers for the XLA-fallback branch.
+        d, i = jax.device_get((d, i))
         d, i = np.array(d)[:, :k], np.array(i)[:, :k]
         if d.shape[1] < k:  # k > ntotal: pad with Faiss's (-1, worst) tail
             pad = k - d.shape[1]

@@ -31,10 +31,8 @@ import numpy as np
 from jax.sharding import Mesh
 
 from image_search_engine_tpu.ops.kmeans import KMeans, assign_jax
+from image_search_engine_tpu.ops import round_up
 
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
 
 
 def _pad_results(d: np.ndarray, i: np.ndarray, k: int):
@@ -53,7 +51,7 @@ def _build_lists(codes: np.ndarray, nlist: int, row_offset: int = 0) -> np.ndarr
     (stable argsort + per-cluster slicing) instead of a per-row Python
     loop. Rows get ``row_offset`` added (global ids for sharded lists)."""
     counts = np.bincount(codes, minlength=nlist)
-    max_list = _round_up(max(int(counts.max(initial=0)), 1), 8)
+    max_list = round_up(max(int(counts.max(initial=0)), 1), 8)
     lists = np.full((nlist, max_list), -1, np.int32)
     order = np.argsort(codes, kind="stable")
     starts = np.concatenate([[0], np.cumsum(counts)])
@@ -82,7 +80,7 @@ def _build_buckets(
     """
     n = codes.shape[0]
     counts = np.bincount(codes, minlength=nlist)
-    cap = _round_up(max(8, int(np.ceil(cap_factor * max(n, 1) / max(nlist, 1)))), 8)
+    cap = round_up(max(8, int(np.ceil(cap_factor * max(n, 1) / max(nlist, 1)))), 8)
     order = np.argsort(codes, kind="stable")
     starts = np.concatenate([[0], np.cumsum(counts)])
     lists_rows, bucket_cell = [], []
@@ -347,8 +345,10 @@ def _ivfpq_search_kernel(
     (Round 1's single one-hot einsum materialized (Q, L, m, 256) f32 at
     once and OOMed any real batch.)
 
-    packed_codes: (nlist, max_list, m) int32 stored list-contiguous (one
-    block read per probed cell); pq_books: (m, 256, dsub).
+    packed_codes: (nlist, max_list, m) uint8 stored list-contiguous (one
+    block read per probed cell — a byte per subspace, so the device table
+    really is ~N*m bytes); pq_books: (m, 256, dsub). Codes widen to int32
+    only at the (Q, L) one-hot slice.
     """
     qn_, d = q.shape
     dsub = d // m
@@ -374,7 +374,8 @@ def _ivfpq_search_kernel(
         # time so the one-hot transient stays (Q, L, 256) bf16
         dist = jnp.zeros(ccodes.shape[:2], jnp.float32)
         for mm in range(m):
-            oh = jax.nn.one_hot(ccodes[:, :, mm], 256, dtype=jnp.bfloat16)
+            oh = jax.nn.one_hot(ccodes[:, :, mm].astype(jnp.int32), 256,
+                                dtype=jnp.bfloat16)
             dist = dist + jnp.einsum(
                 "qlk,qk->ql", oh, lut[:, mm].astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32,
@@ -442,14 +443,15 @@ def _pq_reconstruct_table(packed_codes, pq_books, bucket_centroids,
     nb, cap, _ = packed_codes.shape
     k256, dsub = pq_books.shape[1], pq_books.shape[2]
     books_bf = pq_books.astype(jnp.bfloat16)
-    nbp = _round_up(nb, chunk)
+    nbp = round_up(nb, chunk)
     codes = jnp.pad(packed_codes, ((0, nbp - nb), (0, 0), (0, 0)))
 
-    def do_chunk(codes_c):  # (chunk, cap, m) int32
+    def do_chunk(codes_c):  # (chunk, cap, m) uint8
         flat = codes_c.reshape(chunk * cap, m)
         parts = []
         for mm in range(m):
-            oh = jax.nn.one_hot(flat[:, mm], k256, dtype=jnp.bfloat16)
+            oh = jax.nn.one_hot(flat[:, mm].astype(jnp.int32), k256,
+                                dtype=jnp.bfloat16)
             parts.append(jnp.dot(oh, books_bf[mm],
                                  preferred_element_type=jnp.float32))
         return jnp.concatenate(parts, axis=1).reshape(chunk, cap, m * dsub)
@@ -536,8 +538,10 @@ class IVFPQIndex(IVFIndex):
         return self
 
     def _pack_codes(self) -> None:
-        """List-contiguous code layout, mirroring IVFIndex._pack."""
-        self.packed_codes = self.codes.astype(np.int32)[np.maximum(self.lists, 0)]
+        """List-contiguous code layout, mirroring IVFIndex._pack. Stays
+        uint8 on device — a byte per subspace is PQ's whole point; the
+        ADC kernels widen per (Q, L) slice at the one-hot site."""
+        self.packed_codes = self.codes[np.maximum(self.lists, 0)]
         self.packed_codes[~self.list_valid] = 0
         self._dev_pq = None
         self._dev_raw = None

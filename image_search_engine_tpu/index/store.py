@@ -35,10 +35,8 @@ from jax.sharding import Mesh
 from image_search_engine_tpu.config import STORE_DTYPES
 from image_search_engine_tpu.parallel.mesh import replicate, shard_rows
 from image_search_engine_tpu.parallel.topk import PAD_NORM
+from image_search_engine_tpu.ops import round_up
 
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
 
 
 def quantize_rows_int8(x: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
@@ -141,7 +139,7 @@ class VectorStore:
         mult = pad_multiple
         if mesh is not None:
             mult = int(np.lcm(mult, mesh.shape[axis]))
-        return _round_up(max(n, 1), mult)
+        return round_up(max(n, 1), mult)
 
     @staticmethod
     def _place(vectors, norms, scales, mesh: Optional[Mesh], axis: str):

@@ -333,11 +333,14 @@ def _level_budgets(max_keypoints: int, n_levels: int, scale_step: float):
     """Per-octave keypoint budgets, proportional to level area (cv2 ORB
     distributes nfeatures the same way), summing exactly to
     ``max_keypoints`` with a floor of 8 per level."""
+    if max_keypoints <= 8:
+        # budget below the per-level floor: one base level takes it all
+        return [max(1, max_keypoints)]
     # small total budgets support fewer octaves (floor of 8 per level)
     n_levels = max(1, min(n_levels, max_keypoints // 8))
     w = np.asarray([scale_step ** (-2.0 * l) for l in range(n_levels)])
     k = np.maximum(np.floor(max_keypoints * w / w.sum()).astype(int), 8)
-    while int(k.sum()) > max_keypoints:
+    while int(k.sum()) > max_keypoints and k.size > 1:
         k[int(np.argmax(k))] -= int(k.sum()) - max_keypoints
         k = np.maximum(k, 8)
         if int(k.sum()) > max_keypoints and (k == 8).all():

@@ -29,10 +29,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from image_search_engine_tpu.ops import round_up
 
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
 
 
 def _probed_scan_kernel(probe_ref, *refs, qb: int, f32_table: bool):
@@ -90,9 +88,9 @@ def ivf_probed_topk(
 
     qn, d = q.shape
     nbuckets, cap, _ = packed.shape
-    dp = _round_up(d, 128)
-    cap_p = _round_up(cap, 128)
-    qp = _round_up(qn, qb)
+    dp = round_up(d, 128)
+    cap_p = round_up(cap, 128)
+    qp = round_up(qn, qb)
     table_dt = packed.dtype
 
     qf = jnp.pad(q.astype(table_dt), ((0, qp - qn), (0, dp - d)))

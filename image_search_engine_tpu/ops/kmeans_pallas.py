@@ -19,10 +19,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from image_search_engine_tpu.ops import round_up
 
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
 
 
 def _assign_kernel(x_ref, c_ref, cn_ref, codes_ref, dist_ref, *, k_valid: int):
@@ -61,10 +59,10 @@ def assign_pallas(
 
     n, d = x.shape
     k = centroids.shape[0]
-    dp = _round_up(d, 128)
-    kp = _round_up(k, 128)
-    tile_n = min(tile_n, _round_up(n, 8))
-    npad = _round_up(n, tile_n)
+    dp = round_up(d, 128)
+    kp = round_up(k, 128)
+    tile_n = min(tile_n, round_up(n, 8))
+    npad = round_up(n, tile_n)
 
     xf = jnp.pad(x.astype(jnp.float32), ((0, npad - n), (0, dp - d)))
     cf = jnp.pad(centroids.astype(jnp.float32), ((0, kp - k), (0, dp - d)))

@@ -45,13 +45,11 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from image_search_engine_tpu.ops import round_up
 
 _NEG_INF = float("-inf")
 _POS_INF = float("inf")
 
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
 
 
 def _extract_topk_inplace(scores_ref, col_ids, k: int):
@@ -185,10 +183,10 @@ def topk_pallas(
 
     qn, d = q.shape
     n = x.shape[0]
-    dp = _round_up(d, 128)
-    qp = _round_up(qn, 8)
-    tile_n = min(tile_n, _round_up(n, 128))
-    npad = _round_up(n, tile_n)
+    dp = round_up(d, 128)
+    qp = round_up(qn, 8)
+    tile_n = min(tile_n, round_up(n, 128))
+    npad = round_up(n, tile_n)
 
     qf = jnp.pad(q.astype(jnp.float32), ((0, qp - qn), (0, dp - d)))
     xf = jnp.pad(x.astype(jnp.float32), ((0, npad - n), (0, dp - d)))
@@ -462,24 +460,24 @@ def topk_twophase(
 
     qn_rows, d = q.shape
     n = x.shape[0]
-    dp = _round_up(d, 128)
+    dp = round_up(d, 128)
     # bf16 tiles want 16-row sublane alignment; int8 wants 32 (and the
     # query-scale vector wants a 128-wide lane dim)
-    qp = _round_up(qn_rows, 128 if is_int8 else (16 if x.dtype != jnp.float32 else 8))
+    qp = round_up(qn_rows, 128 if is_int8 else (16 if x.dtype != jnp.float32 else 8))
     if fused_rescore:
-        qp = _round_up(qp, qb)  # fused grid steps over qb-row query blocks
-    if _round_up(n, GROUP) <= tile_n:
+        qp = round_up(qp, qb)  # fused grid steps over qb-row query blocks
+    if round_up(n, GROUP) <= tile_n:
         # single tile: phase-1 blocks equal the whole (padded) array, which
         # Mosaic accepts at any GROUP multiple
-        tile_n = _round_up(n, GROUP)
+        tile_n = round_up(n, GROUP)
     else:
         # multi-tile: the (tile_n//GROUP, Qp) out block's sublane dim must
         # be 8-divisible and the 1-D norm input's T(1024) tile must divide
         # tile_n -> tile_n must be a multiple of 8*GROUP (= 1024). Small
         # non-conforming tile_n values crash Mosaic lowering on hardware
         # (they pass in interpret mode, which skips layout checks).
-        tile_n = _round_up(tile_n, 8 * GROUP)
-    npad = _round_up(n, tile_n)
+        tile_n = round_up(tile_n, 8 * GROUP)
+    npad = round_up(n, tile_n)
     ngroups = npad // GROUP
 
     # Keep the store's dtype: a bfloat16/int8 store cuts HBM footprint and
@@ -587,7 +585,7 @@ def topk_twophase(
         # and each padded row here costs t discarded group-block DMAs.
         # The pad rows that remain participate (scores discarded); their
         # candidate ids are in-range, so the gathers stay valid.
-        qp2 = min(qp, _round_up(qn_rows, qb))
+        qp2 = min(qp, round_up(qn_rows, qb))
         _, cand_groups = jax.lax.top_k(-mins[:qp2], t)  # (Qp2, t)
         if with_certificate:
             # threshold = the t-th smallest group min = max over the
@@ -781,29 +779,32 @@ def topk_twophase_safe(
     flow. Jit-embedded callers (engine's fused embed+search) thread the
     certificate out of their program and escalate themselves.
     """
-    d, i, cert = topk_twophase(
+    # One combined device_get for (d, i, cert): the certificate check and
+    # the results cost a single host transfer (~30 ms RTT over the dev
+    # tunnel), not two. Returns host numpy arrays.
+    d, i, cert = jax.device_get(topk_twophase(
         q, x, k, metric, x_norms=x_norms, x_scale=x_scale,
         t_margin=t_margin, with_certificate=True, **kw,
-    )
-    if bool(jnp.all(cert)):
+    ))
+    if cert.all():
         return d, i
     import logging
 
     logging.getLogger(__name__).warning(
         "top-k exactness certificate failed for %d/%d queries at margin %d; "
         "re-running at margin %d",
-        int(jnp.sum(~cert)), cert.shape[0], t_margin, wide_margin,
+        int((~cert).sum()), cert.shape[0], t_margin, wide_margin,
     )
-    d, i, cert = topk_twophase(
+    d, i, cert = jax.device_get(topk_twophase(
         q, x, k, metric, x_norms=x_norms, x_scale=x_scale,
         t_margin=wide_margin, with_certificate=True, **kw,
-    )
-    if not bool(jnp.all(cert)):
+    ))
+    if not cert.all():
         # a wide-margin failure means divergence beyond anything measured;
         # surface it rather than loop (results are still the wide rescan's
         # best-effort exact top-k)
         logging.getLogger(__name__).error(
             "certificate still failing at margin %d (%d queries)",
-            wide_margin, int(jnp.sum(~cert)),
+            wide_margin, int((~cert).sum()),
         )
     return d, i

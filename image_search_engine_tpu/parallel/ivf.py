@@ -29,12 +29,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from image_search_engine_tpu.ops import round_up
 
 _log = logging.getLogger(__name__)
 
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
 
 
 class ShardedIVF:
@@ -106,7 +104,7 @@ class ShardedIVF:
         n, d = x.shape
         nlist = centroids.shape[0]
         s = mesh.shape[axis]
-        r = _round_up(-(-n // s), 8)  # rows per shard
+        r = round_up(-(-n // s), 8)  # rows per shard
         npad = r * s
 
         xp = np.zeros((npad, d), np.float32)
@@ -268,7 +266,7 @@ class ShardedIVFPQ(ShardedIVF):
         n, m = codes.shape
         nlist, d = centroids.shape
         s = mesh.shape[axis]
-        r = _round_up(-(-n // s), 8)  # rows per shard (block partition)
+        r = round_up(-(-n // s), 8)  # rows per shard (block partition)
 
         per_shard = []
         for si in range(s):
@@ -286,7 +284,9 @@ class ShardedIVFPQ(ShardedIVF):
         nb = max(l.shape[0] for l, _ in per_shard)
         lists = np.full((s, nb, cap), -1, np.int32)
         bcents = np.full((s, nb, d), 1e15, np.float32)
-        pcodes = np.zeros((s, nb, cap, m), np.int32)
+        # uint8 — one byte per subspace on device (the docstring's ~N*m
+        # bytes across the mesh); ADC widens per one-hot slice below
+        pcodes = np.zeros((s, nb, cap, m), np.uint8)
         if raw is not None:
             praw = np.zeros((s, nb, cap, d), np.float32)
             prnorm = np.full((s, nb, cap), np.inf, np.float32)
@@ -396,7 +396,8 @@ class ShardedIVFPQ(ShardedIVF):
                 # gathers measured 13x slower — see index/ivf.py ADC note)
                 dist = jnp.zeros(ccodes.shape[:2], jnp.float32)
                 for mm in range(m):
-                    oh = jax.nn.one_hot(ccodes[:, :, mm], 256, dtype=jnp.bfloat16)
+                    oh = jax.nn.one_hot(ccodes[:, :, mm].astype(jnp.int32),
+                                        256, dtype=jnp.bfloat16)
                     dist = dist + jnp.einsum(
                         "qlk,qk->ql", oh, lut[:, mm].astype(jnp.bfloat16),
                         preferred_element_type=jnp.float32,

@@ -99,20 +99,26 @@ class Prefetcher:
         self._q: "queue.Queue" = queue.Queue(maxsize=depth)
         self._stop = threading.Event()
 
+        def put_checked(item) -> None:
+            # every producer put is bounded + stop-flag-rechecked — the
+            # end-of-iterator sentinel and error puts included, so stop()
+            # after the queue fills never strands the thread
+            while not self._stop.is_set():
+                try:
+                    self._q.put(item, timeout=0.25)
+                    return
+                except queue.Full:
+                    continue
+
         def run():
             try:
                 for item in iterator:
-                    while not self._stop.is_set():
-                        try:
-                            self._q.put(item, timeout=0.25)
-                            break
-                        except queue.Full:
-                            continue
+                    put_checked(item)
                     if self._stop.is_set():
                         return
-                self._q.put(_PREFETCH_DONE)
+                put_checked(_PREFETCH_DONE)
             except BaseException as e:  # surface decode errors to consumer
-                self._q.put(e)
+                put_checked(e)
 
         self._thread = threading.Thread(
             target=run, daemon=True, name="batch-prefetch")

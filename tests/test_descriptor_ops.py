@@ -180,6 +180,12 @@ def test_multiscale_pyramid_budgets():
         b = _level_budgets(mk, nl, 1.25)
         assert sum(b) == mk and all(v >= 8 for v in b)
         assert b == sorted(b, reverse=True)  # base level gets the most
+    # budgets below the per-level floor of 8 collapse to one base level
+    # instead of crashing (regression: the rebalance loop used to empty
+    # the budget array for max_keypoints < 8)
+    for mk in (1, 4, 7, 8, 9):
+        b = _level_budgets(mk, 4, 1.25)
+        assert sum(b) == mk and all(v >= 1 for v in b)
 
 
 def test_multiscale_shapes_and_small_image_fallback(rng):

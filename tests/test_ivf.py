@@ -165,7 +165,9 @@ def test_sharded_ivfpq_from_codes_only_artifact(corpus, tmp_path):
     d2, i2 = spq.search(q, 10)
     assert recall_at_k(np.asarray(i2), np.asarray(i1)) >= 0.95
     # sharded storage is the codes, not vectors
-    assert spq.packed_codes.dtype == np.int32
+    # ...and stays byte-per-subspace on device (uint8): the mesh holds
+    # ~N*m bytes of codes, not a 4x-widened int32 table
+    assert spq.packed_codes.dtype == np.uint8
     assert spq.pq_books.shape[1] == 256
 
 

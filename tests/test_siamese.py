@@ -312,6 +312,17 @@ def test_prefetcher_order_errors_and_stop():
     pf._thread.join(timeout=5.0)
     assert not pf._thread.is_alive()
 
+    # the end-of-iterator sentinel put is ALSO stop-safe: a finite
+    # iterator whose sentinel can't fit in the full queue must not
+    # strand the thread after stop() (regression: the sentinel/error
+    # puts used to block unboundedly)
+    pf = Prefetcher(iter([1]), depth=1)
+    import time as _time
+    _time.sleep(0.1)  # item 1 fills the depth-1 queue; the sentinel parks
+    pf.stop()
+    pf._thread.join(timeout=5.0)
+    assert not pf._thread.is_alive()
+
 
 def test_average_meter_accepts_device_scalars():
     from image_search_engine_tpu.training.siamese.train import AverageMeter
