@@ -285,12 +285,18 @@ class QueryEngine:
                 raw_d = index._device_raw() if rerank else None
                 embed = _make_embed_fn(embedder, s, normalize)
 
+                # EVERY index-sized array rides as a jit argument (recon /
+                # rnorms / raw are O(N*d); bcents / lists are O(N) too) —
+                # closures bake into the compiled program as constants
+                # (remote_compile rejects ~512 MB; even MBs bloat the
+                # compile cache). Guarded by
+                # test_fused_programs_close_over_no_arrays.
                 @_ft.partial(jax.jit, static_argnames=("k", "c"))
-                def fused_pq(params, batch_stats, images, recon_t, rnorms_t,
-                             raw_t, k, c):
+                def fused_pq(params, batch_stats, images, bcents_t, lists_t,
+                             recon_t, rnorms_t, raw_t, k, c):
                     emb = embed(params, batch_stats, images)
-                    out = ivf_probed_topk(emb, bcents, recon_t, rnorms_t,
-                                          lists_d, c if c else k, nprobe)
+                    out = ivf_probed_topk(emb, bcents_t, recon_t, rnorms_t,
+                                          lists_t, c if c else k, nprobe)
                     if c:
                         out = _exact_rescore(emb, raw_t, out[1], out[2], k)
                     return out
@@ -301,7 +307,7 @@ class QueryEngine:
                     out = fused_pq(
                         embedder.params, embedder.batch_stats,
                         jnp.asarray(_resize_host(image, s)[None], jnp.float32),
-                        recon, rnorms, raw_d, k_eff, c_eff,
+                        bcents, lists_d, recon, rnorms, raw_d, k_eff, c_eff,
                     )
                     return _fused_finish(index, out, k)
 
@@ -325,16 +331,19 @@ class QueryEngine:
                 bcents, lists_d, valid_d, packed_d, pnorms_d = index._device_arrays()
                 embed = _make_embed_fn(embedder, s, normalize)
 
-                # packed_d is the full packed vector table (~N*d*4 bytes —
-                # GBs at 1M); it MUST ride as a jit ARGUMENT, not a closure,
-                # or it gets baked into the shipped program as a constant
-                # (remote_compile rejects ~512 MB constants; see fused_pq).
+                # EVERY index-sized array rides as a jit argument — above
+                # all packed_t, the full packed vector table (~N*d*4 B,
+                # GBs at 1M), but also the O(N) lists/valid/bucket-centroid
+                # arrays. Closures bake into the compiled program as
+                # constants (remote_compile rejects ~512 MB; even MBs bloat
+                # the compile cache). Guarded by
+                # test_fused_programs_close_over_no_arrays.
                 @_ft.partial(jax.jit, static_argnames=("k",))
-                def fused_ivf(params, batch_stats, images, packed_t,
-                              pnorms_t, k):
+                def fused_ivf(params, batch_stats, images, bcents_t,
+                              lists_t, valid_t, packed_t, pnorms_t, k):
                     emb = embed(params, batch_stats, images)
                     return _ivf_search_kernel(
-                        emb, bcents, lists_d, valid_d, packed_t, pnorms_t,
+                        emb, bcents_t, lists_t, valid_t, packed_t, pnorms_t,
                         k, nprobe, max_list,
                     )
 
@@ -343,7 +352,7 @@ class QueryEngine:
                     out = fused_ivf(
                         embedder.params, embedder.batch_stats,
                         jnp.asarray(_resize_host(image, s)[None], jnp.float32),
-                        packed_d, pnorms_d, k_eff,
+                        bcents, lists_d, valid_d, packed_d, pnorms_d, k_eff,
                     )
                     return _fused_finish(index, out, k)
 

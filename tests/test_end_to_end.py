@@ -432,3 +432,63 @@ def test_engine_ivfpq_rerank_serves_exact_distances(corpus_dir):
     pred = engine.query(img, k=3)
     assert pred[0][2] == engine.paths[0]  # exact rerank: self-match on top
     assert pred[0][0] < 0.05  # true (non-ADC) distance for the self-match
+
+
+def _closure_arrays(fn, depth=2):
+    """Arrays (> 4 KB) reachable through a function's closure cells,
+    recursing one level into closed-over functions."""
+    out, seen = [], set()
+
+    def walk(f, d):
+        if d < 0 or id(f) in seen:
+            return
+        seen.add(id(f))
+        for cell in getattr(f, "__closure__", None) or ():
+            try:
+                v = cell.cell_contents
+            except ValueError:  # empty cell
+                continue
+            if callable(v):
+                walk(v, d - 1)
+            nb = getattr(v, "nbytes", None)
+            if nb is not None and getattr(v, "ndim", 0) >= 1 and nb > 4096:
+                out.append((getattr(f, "__name__", "?"),
+                            type(v).__name__, tuple(v.shape), int(nb)))
+
+    walk(fn, depth)
+    return out
+
+
+def test_fused_programs_close_over_no_arrays(corpus_dir, monkeypatch):
+    # jit BAKES closed-over arrays into the compiled program as constants
+    # — at 1M the IVF packed table is GBs and remote compilation rejects
+    # the program outright (CLAUDE.md "512 MB constant -> HTTP 413"), and
+    # even MB-scale constants bloat every compile-cache entry. Every
+    # index-sized array must therefore ride as a jit ARGUMENT. Spy on
+    # jax.jit and inspect each fused* serving program's closure
+    # (regression: fused_ivf once closed over the full packed vector
+    # table + O(N) lists).
+    import jax
+
+    flagged = []
+    real_jit = jax.jit
+
+    def spy(*args, **kwargs):
+        if args and callable(args[0]) and \
+                getattr(args[0], "__name__", "").startswith("fused"):
+            flagged.extend(_closure_arrays(args[0]))
+        return real_jit(*args, **kwargs)
+
+    monkeypatch.setattr(jax, "jit", spy)
+
+    for kw in (
+        dict(index_type=IndexType.L2),
+        dict(index_type=IndexType.CELL_PROBE, ivf_nlist=4, ivf_nprobe=4),
+        dict(index_type=IndexType.IVFPQ, ivf_nlist=2, ivf_nprobe=2, pq_m=8),
+    ):
+        cfg = _cfg(corpus_dir, method=Method.DNN,
+                   dnn_model=DnnModel.RESNET_TINY, **kw)
+        indexer_main(cfg)
+        QueryEngine(cfg, prewarm=False)
+
+    assert flagged == [], f"fused programs close over arrays: {flagged}"
