@@ -54,9 +54,11 @@ def main():
     # clustered corpus with K rows planted near the query embedding (see
     # serving_fused_ivfpq.py: unrelated Gaussian corpora measure
     # tie-shuffling, not retrieval)
+    assert args.n >= K, f"--n must be >= {K} (planted rows)"
+    per = -(-args.n // 512)  # ceil: keeps small --n smoke runs working
     centers = rng.standard_normal((512, D)).astype(np.float32) * 3
     x = np.concatenate([
-        c + rng.standard_normal((args.n // 512, D)).astype(np.float32)
+        c + rng.standard_normal((per, D)).astype(np.float32)
         for c in centers
     ])[:args.n]
     x[:K] = q_emb[None] + 0.01 * rng.standard_normal((K, D)).astype(np.float32)
@@ -87,7 +89,7 @@ def main():
     generic()  # compile both programs
     t_generic = timed(generic, "generic embed->search")
 
-    # ---- fused program: the exact structure engine._make_search builds
+    # ---- fused program: the exact structure QueryEngine._build creates
     # for IVFIndex (engine.py fused_ivf) — all index arrays as arguments
     model, norm_name = emb.model, emb.norm_name
     nprobe = ivf._effective_nprobe()

@@ -60,9 +60,11 @@ def main():
     # near the query's embedding — a random Gaussian corpus is unrelated to
     # the query, every candidate is a near-tie, and the id-agreement sanity
     # check below would measure tie-shuffling instead of correctness
+    assert args.n >= K, f"--n must be >= {K} (planted rows)"
+    per = -(-args.n // 512)  # ceil: keeps small --n smoke runs working
     centers = rng.standard_normal((512, D)).astype(np.float32) * 3
     x = np.concatenate([
-        c + rng.standard_normal((args.n // 512, D)).astype(np.float32)
+        c + rng.standard_normal((per, D)).astype(np.float32)
         for c in centers
     ])[:args.n]
     x[:K] = q_emb[None] + 0.01 * rng.standard_normal((K, D)).astype(np.float32)
@@ -93,8 +95,12 @@ def main():
     generic()  # compile both programs
     t_generic = timed(generic, "generic embed->search")
 
-    # ---- fused program: the exact structure engine._make_search builds
-    # for IVFPQIndex (engine.py fused_pq)
+    # ---- fused program: the exact structure QueryEngine._build creates
+    # for IVFPQIndex (engine.py fused_pq) — EVERY index-sized array
+    # (bucket centroids, lists, recon table, norms, raw vectors) rides as
+    # a jit ARGUMENT, never a closure (closures bake into the compiled
+    # program as constants; see engine.py and
+    # test_fused_programs_close_over_no_arrays)
     model, norm_name = emb.model, emb.norm_name
     bcents, lists_d, valid_d, pcodes, books = pq._device_arrays_pq()
     recon, rnorms = _pq_reconstruct_table(pcodes, books, bcents, valid_d, pq.m)
@@ -103,13 +109,14 @@ def main():
     pool = pq._effective_nprobe() * max_list
 
     @functools.partial(jax.jit, static_argnames=("k", "c"))
-    def fused_pq(params, batch_stats, images, recon_t, rnorms_t, raw_t, k, c):
+    def fused_pq(params, batch_stats, images, bcents_t, lists_t, recon_t,
+                 rnorms_t, raw_t, k, c):
         xq = preprocess_for_cnn(images, 224, norm=norm_name)
         variables = {"params": params}
         if batch_stats is not None:
             variables["batch_stats"] = batch_stats
         e = model.apply(variables, xq, train=False)
-        out = ivf_probed_topk(e, bcents, recon_t, rnorms_t, lists_d,
+        out = ivf_probed_topk(e, bcents_t, recon_t, rnorms_t, lists_t,
                               c if c else k, NPROBE)
         if c:
             out = _exact_rescore(e, raw_t, out[1], out[2], k)
@@ -119,7 +126,7 @@ def main():
         def fused():
             out = fused_pq(emb.params, emb.batch_stats,
                            jnp.asarray(img[None], jnp.float32),
-                           recon, rnorms, raw_d, K, c)
+                           bcents, lists_d, recon, rnorms, raw_d, K, c)
             return jax.device_get(out)          # ONE host transfer
         fused()  # compile
         return fused
@@ -141,7 +148,7 @@ def main():
     d_ref, i_ref = pq.search(q_emb[None], K, rerank=0)
     out = fused_pq(emb.params, emb.batch_stats,
                    jnp.asarray(img[None], jnp.float32),
-                   recon, rnorms, raw_d, K, 0)
+                   bcents, lists_d, recon, rnorms, raw_d, K, 0)
     i_fused = np.asarray(out[1])[:, :K]
     planted = set(range(K))
     hit_f = len(planted & set(i_fused[0].tolist()))

@@ -435,9 +435,28 @@ def test_engine_ivfpq_rerank_serves_exact_distances(corpus_dir):
 
 
 def _closure_arrays(fn, depth=2):
-    """Arrays (> 4 KB) reachable through a function's closure cells,
-    recursing one level into closed-over functions."""
+    """Arrays of ANY size reachable through a function's closure cells —
+    recursing into closed-over functions AND into plain containers
+    (tuple/list/dict), so a closed-over `index._device_arrays()` tuple
+    is caught, not just a bare array. No byte threshold: the fused
+    serving programs must close over NO arrays at all (at the test's
+    12-image corpus the O(N) lists/norms arrays are tens of bytes; at a
+    real corpus the same closure is MBs-to-GBs baked into the program)."""
     out, seen = [], set()
+
+    def visit(owner, v, d):
+        nb = getattr(v, "nbytes", None)
+        if nb is not None and getattr(v, "ndim", 0) >= 1:
+            out.append((getattr(owner, "__name__", "?"),
+                        type(v).__name__, tuple(v.shape), int(nb)))
+        elif isinstance(v, (tuple, list)):
+            for item in v:
+                visit(owner, item, d)
+        elif isinstance(v, dict):
+            for item in v.values():
+                visit(owner, item, d)
+        elif callable(v):
+            walk(v, d - 1)
 
     def walk(f, d):
         if d < 0 or id(f) in seen:
@@ -448,15 +467,38 @@ def _closure_arrays(fn, depth=2):
                 v = cell.cell_contents
             except ValueError:  # empty cell
                 continue
-            if callable(v):
-                walk(v, d - 1)
-            nb = getattr(v, "nbytes", None)
-            if nb is not None and getattr(v, "ndim", 0) >= 1 and nb > 4096:
-                out.append((getattr(f, "__name__", "?"),
-                            type(v).__name__, tuple(v.shape), int(nb)))
+            visit(f, v, d)
 
     walk(fn, depth)
     return out
+
+
+def test_closure_array_detector_positive_control():
+    # The guard below is only as good as this walker — prove it flags
+    # the regression shapes it exists to catch before trusting its [].
+    arr = np.zeros((4, 8), np.float32)
+
+    def direct(q):
+        return q + arr
+
+    def via_tuple():
+        dev = (arr, 3, "meta")  # e.g. a captured index._device_arrays()
+
+        def f(q):
+            a, _, _ = dev
+            return q + a
+        return f
+
+    def via_inner_fn():
+        def helper(q):
+            return q + arr
+
+        def f(q):
+            return helper(q)
+        return f
+
+    for fn in (direct, via_tuple(), via_inner_fn()):
+        assert _closure_arrays(fn), f"detector missed {fn.__name__}"
 
 
 def test_fused_programs_close_over_no_arrays(corpus_dir, monkeypatch):
@@ -470,12 +512,13 @@ def test_fused_programs_close_over_no_arrays(corpus_dir, monkeypatch):
     # table + O(N) lists).
     import jax
 
-    flagged = []
+    flagged, intercepted = [], set()
     real_jit = jax.jit
 
     def spy(*args, **kwargs):
         if args and callable(args[0]) and \
                 getattr(args[0], "__name__", "").startswith("fused"):
+            intercepted.add(args[0].__name__)
             flagged.extend(_closure_arrays(args[0]))
         return real_jit(*args, **kwargs)
 
@@ -491,4 +534,8 @@ def test_fused_programs_close_over_no_arrays(corpus_dir, monkeypatch):
         indexer_main(cfg)
         QueryEngine(cfg, prewarm=False)
 
+    # positive control: the spy must have seen all three fused serving
+    # programs — if engine.py renames them or stops routing through
+    # jax.jit, this guard would otherwise pass vacuously
+    assert {"fused", "fused_ivf", "fused_pq"} <= intercepted, intercepted
     assert flagged == [], f"fused programs close over arrays: {flagged}"
