@@ -140,7 +140,15 @@ class QueryEngine:
             self._search(dummy, k_warm)
             if getattr(self, "_extra_prewarm", None) is not None:
                 self._extra_prewarm(k_warm)
-            log.info("prewarm compile finished in %.1fs", time.time() - t0)
+            t1 = time.time()
+            # second dispatch = warm-path latency; the first includes
+            # compile (or cache load) + device program load, which over a
+            # remote tunnel can dominate by minutes (BENCH_NOTES "End-to-
+            # end verify at HEAD") — log both so slow starts are
+            # attributable without re-instrumenting
+            self._search(dummy, k_warm)
+            log.info("prewarm finished in %.1fs (compile + first dispatch; "
+                     "warm dispatch %.0f ms)", t1 - t0, (time.time() - t1) * 1e3)
         except Exception as e:  # noqa: BLE001 — prewarm failing must not block serving
             log.warning("prewarm failed (serving continues, first query compiles): %s", e)
 

@@ -5,8 +5,13 @@ here every jitted program XLA-compiles on first use — measured 471 s for
 an engine prewarm (resnet-tiny embed + search) through the dev tunnel,
 and 2-5 min per Pallas kernel. JAX's persistent compilation cache stores
 compiled executables on disk keyed by (program, compiler options, device
-kind), so a RESTARTED indexer/engine skips straight past compilation —
-serving restarts become load-and-go instead of minutes of prewarm.
+kind), so a RESTARTED indexer/engine skips straight past compilation
+(verified: cache hit loads the fused serving executable in 0.14 s).
+Note the prewarm wall time also includes the FIRST DISPATCH of each
+program — milliseconds on local hardware, but through a remote-compile
+tunnel that term can still take minutes regardless of the cache
+(BENCH_NOTES "End-to-end verify at HEAD"); the engine logs the
+compile-vs-dispatch split at startup.
 
 Enabled by the indexer and engine CLIs (opt out with
 --no-compile-cache); library imports never touch global JAX config.
