@@ -47,6 +47,34 @@ def flatten_valid_descriptors(features: np.ndarray, valid: Optional[np.ndarray])
     return features[valid]
 
 
+def davies_bouldin_score(x: np.ndarray, labels: np.ndarray) -> float:
+    """Davies-Bouldin index in plain NumPy (lower = tighter clusters).
+
+    Mirrors sklearn.metrics.davies_bouldin_score so the production
+    ``--cluster-grid-search`` path carries no scikit-learn dependency
+    (it was only declared in the test extra). Per-cluster dispersion
+    S_i = mean L2 distance to the centroid; score = mean over i of
+    max_{j!=i} (S_i + S_j) / d(c_i, c_j). Parity-tested against sklearn
+    in tests/test_bovw_math.py.
+    """
+    uniq = np.unique(labels)
+    k = uniq.shape[0]
+    if k < 2:
+        raise ValueError("davies_bouldin_score needs >= 2 clusters")
+    cents = np.empty((k, x.shape[1]), np.float64)
+    disp = np.empty(k, np.float64)
+    for i, u in enumerate(uniq):
+        pts = x[labels == u].astype(np.float64)
+        cents[i] = pts.mean(axis=0)
+        disp[i] = np.sqrt(((pts - cents[i]) ** 2).sum(axis=1)).mean()
+    # pairwise centroid distances
+    diff = cents[:, None, :] - cents[None, :, :]
+    dist = np.sqrt((diff ** 2).sum(-1))
+    ratio = (disp[:, None] + disp[None, :]) / np.where(dist > 0, dist, np.inf)
+    np.fill_diagonal(ratio, 0.0)
+    return float(ratio.max(axis=1).mean())
+
+
 def sampled_cluster_score(
     descriptors: np.ndarray,
     labels: np.ndarray,
@@ -56,8 +84,6 @@ def sampled_cluster_score(
 ) -> float:
     """Mean Davies-Bouldin over random subsamples, sign-flipped so higher is
     better (reference calc_sampled_cluster_score, backend/utils.py:235-290)."""
-    from sklearn.metrics import davies_bouldin_score
-
     rng = np.random.default_rng(seed)
     scores = []
     n = descriptors.shape[0]

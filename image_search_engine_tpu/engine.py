@@ -140,17 +140,24 @@ class QueryEngine:
             self._search(dummy, k_warm)
             if getattr(self, "_extra_prewarm", None) is not None:
                 self._extra_prewarm(k_warm)
-            t1 = time.time()
-            # second dispatch = warm-path latency; the first includes
-            # compile (or cache load) + device program load, which over a
-            # remote tunnel can dominate by minutes (BENCH_NOTES "End-to-
-            # end verify at HEAD") — log both so slow starts are
-            # attributable without re-instrumenting
+        except Exception as e:  # noqa: BLE001 — prewarm failing must not block serving
+            log.warning("prewarm failed (serving continues, first query compiles): %s", e)
+            return
+        t1 = time.time()
+        # second dispatch = warm-path latency; the first includes
+        # compile (or cache load) + device program load, which over a
+        # remote tunnel can dominate by minutes (BENCH_NOTES "End-to-
+        # end verify at HEAD") — log both so slow starts are
+        # attributable without re-instrumenting. Its failure is NOT a
+        # compile failure (compilation already succeeded above), so it
+        # gets its own message rather than the "first query compiles" one.
+        try:
             self._search(dummy, k_warm)
             log.info("prewarm finished in %.1fs (compile + first dispatch; "
                      "warm dispatch %.0f ms)", t1 - t0, (time.time() - t1) * 1e3)
-        except Exception as e:  # noqa: BLE001 — prewarm failing must not block serving
-            log.warning("prewarm failed (serving continues, first query compiles): %s", e)
+        except Exception as e:  # noqa: BLE001
+            log.warning("prewarm compiled in %.1fs but the warm timing "
+                        "dispatch failed (serving continues): %s", t1 - t0, e)
 
     def _build(self, cfg: Config, mesh) -> Callable[[np.ndarray, int], Tuple[np.ndarray, np.ndarray]]:
         if cfg.method == Method.DNN:
@@ -721,6 +728,11 @@ def parse_args(argv=None) -> Config:
     )
 
 
-if __name__ == "__main__":
+def cli_main(argv=None) -> None:
+    """Console-script entry point (``ise-serve``) and ``python -m`` body."""
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s %(message)s")
-    serve(parse_args())
+    serve(parse_args(argv))
+
+
+if __name__ == "__main__":
+    cli_main()

@@ -24,6 +24,7 @@ scores ride the MXU's native int8 path).
 
 from __future__ import annotations
 
+import logging
 from pathlib import Path
 from typing import Optional, Tuple
 
@@ -35,6 +36,8 @@ from jax.sharding import Mesh
 from image_search_engine_tpu.index.store import VectorStore
 from image_search_engine_tpu.ops.distances import l2_normalize
 from image_search_engine_tpu.parallel.topk import distributed_topk, local_topk_with_norms
+
+log = logging.getLogger(__name__)
 
 
 class FlatIndex:
@@ -115,13 +118,21 @@ class FlatIndex:
                 scales_sharded=self.store.scales, with_certificate=True,
             ))
             if not ok.all():
-                out = distributed_topk(
+                d, i, ok_wide = jax.device_get(distributed_topk(
                     q, self.store.vectors, self.store.norms, k_eff,
                     search_metric, self.mesh, self.axis, use_pallas=use_pallas,
                     scales_sharded=self.store.scales, with_certificate=True,
                     t_margin=WIDE,
-                )
-                d, i = jax.device_get((out[0], out[1]))
+                ))
+                if not ok_wide.all():
+                    # mirror topk_twophase_safe: a certificate that fails
+                    # even at the wide margin means the exactness guarantee
+                    # could not be restored — surface it, don't swallow it
+                    log.error(
+                        "sharded exactness certificate still failing after "
+                        "wide-margin (%d) escalation on %d/%d queries",
+                        WIDE, int((~np.asarray(ok_wide)).sum()), ok_wide.size,
+                    )
         else:
             if use_pallas is None:
                 use_pallas = jax.default_backend() == "tpu"

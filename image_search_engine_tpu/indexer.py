@@ -260,7 +260,12 @@ def parse_args(argv=None):
     ), a.native_loader
 
 
-if __name__ == "__main__":
+def cli_main(argv=None) -> None:
+    """Console-script entry point (``ise-index``) and ``python -m`` body."""
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s %(message)s")
-    _cfg, _use_native = parse_args()
-    main(_cfg, use_native=_use_native)
+    cfg, use_native = parse_args(argv)
+    main(cfg, use_native=use_native)
+
+
+if __name__ == "__main__":
+    cli_main()

@@ -333,9 +333,11 @@ def _level_budgets(max_keypoints: int, n_levels: int, scale_step: float):
     """Per-octave keypoint budgets, proportional to level area (cv2 ORB
     distributes nfeatures the same way), summing exactly to
     ``max_keypoints`` with a floor of 8 per level."""
+    if max_keypoints < 1:
+        raise ValueError(f"max_keypoints must be >= 1, got {max_keypoints}")
     if max_keypoints <= 8:
         # budget below the per-level floor: one base level takes it all
-        return [max(1, max_keypoints)]
+        return [max_keypoints]
     # small total budgets support fewer octaves (floor of 8 per level)
     n_levels = max(1, min(n_levels, max_keypoints // 8))
     w = np.asarray([scale_step ** (-2.0 * l) for l in range(n_levels)])

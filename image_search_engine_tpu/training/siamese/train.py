@@ -128,7 +128,18 @@ class Prefetcher:
         return self
 
     def __next__(self):
-        item = self._q.get()
+        import queue
+
+        # bounded get + stop-flag recheck: once stop() is set the producer
+        # drops its sentinel/error puts, so an unbounded q.get() here could
+        # block forever if another thread races stop() against this one
+        while True:
+            try:
+                item = self._q.get(timeout=0.25)
+                break
+            except queue.Empty:
+                if self._stop.is_set():
+                    raise StopIteration from None
         if item is _PREFETCH_DONE:
             raise StopIteration
         if isinstance(item, BaseException):
