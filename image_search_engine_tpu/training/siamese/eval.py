@@ -48,6 +48,66 @@ def recall_at_k(got: np.ndarray, want: np.ndarray) -> float:
     return hits / want.size
 
 
+def make_synthetic_card_corpus(
+    n_cards: int, size: int, q_per: int, seed: int = 0
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Single-instance-per-class retrieval corpus — the reference's
+    Magic-card setting (siamese_tf/dataset.py:77-105: every class has ONE
+    canonical image; queries are photos of it). Cards are sharp random
+    block patterns; query "photos" are the TRAINING augmentation pipeline
+    applied with held-out keys, so retrieval quality measures exactly the
+    invariance the siamese loss trains.
+
+    Returns (cards (C, S, S, 3) f32 [0,1], queries (C*q_per, S, S, 3),
+    qlabel (C*q_per,) true-card ids).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from image_search_engine_tpu.training.siamese.augmentations import augment_batch
+
+    rng = np.random.default_rng(seed)
+    base = (rng.random((n_cards, 8, 8, 3)) > 0.5).astype(np.float32)
+    base = base * (0.3 + 0.7 * rng.random((n_cards, 8, 8, 3)).astype(np.float32))
+    cards = np.asarray(jax.image.resize(
+        jnp.asarray(base), (n_cards, size, size, 3), "nearest"))
+    queries = np.empty((n_cards * q_per, size, size, 3), np.float32)
+    qlabel = np.empty(n_cards * q_per, np.int32)
+    for c in range(n_cards):
+        out = np.asarray(augment_batch(
+            jax.random.PRNGKey(777_000 + c),
+            np.repeat(cards[c][None], q_per, 0)))
+        queries[c * q_per:(c + 1) * q_per] = out
+        qlabel[c * q_per:(c + 1) * q_per] = c
+    return cards, queries, qlabel
+
+
+def card_retrieval_metrics(embed_fn, cards, queries, qlabel, k: int = 3) -> dict:
+    """Retrieval quality of an embedding function on the card corpus:
+    index the cards (flat-IP over L2-normalized embeddings — the
+    reference's create_index + query_index flow), query the photos.
+
+    Returns {"recall_at_1", "topk_hit", "gap"} — gap is the mean
+    true-card-vs-others cosine margin (geometry diagnostic: it grows when
+    training learns augmentation invariance, and collapses to ~0 when the
+    embedder degenerates).
+    """
+    def norm(e):
+        return e / np.maximum(np.linalg.norm(e, axis=1, keepdims=True), 1e-12)
+
+    ce, qe = norm(embed_fn(cards)), norm(embed_fn(queries))
+    idx = FlatIndex("ip").add(ce)
+    _, top = idx.search(qe, k)
+    r1 = float((top[:, 0] == qlabel).mean())
+    hit = float(np.mean([qlabel[i] in set(top[i].tolist())
+                         for i in range(len(qlabel))]))
+    sim = qe @ ce.T
+    pos = sim[np.arange(len(qlabel)), qlabel]
+    neg = (sim.sum(1) - pos) / (ce.shape[0] - 1)
+    return {"recall_at_1": r1, f"top{k}_hit": hit,
+            "gap": float((pos - neg).mean())}
+
+
 def display_query_results(
     query_image: np.ndarray,
     result_images: Sequence[np.ndarray],

@@ -236,6 +236,43 @@ def test_create_index_and_eval_crosscheck(card_corpus):
     assert (if_[:, 0] == np.arange(3)).all()  # self-match first
 
 
+def test_training_improves_retrieval(tmp_path):
+    """The capability the whole L7 subsystem exists for (reference
+    test_index.py + notebook workflow): siamese training must make
+    retrieval BETTER, not just reduce loss. Single-instance-per-class card
+    corpus, query photos from the training augmentation pipeline with
+    held-out keys, recall@1 through the real flat-IP index path —
+    trained-vs-untrained margin asserted (measured +0.45..0.58 at this
+    operating point, BENCH_NOTES "Training improves retrieval"; lr 1e-4 is
+    load-bearing — 1e-3 collapses the embedding, also measured)."""
+    from image_search_engine_tpu.training.siamese.eval import (
+        card_retrieval_metrics,
+        make_synthetic_card_corpus,
+    )
+
+    cards, queries, qlabel = make_synthetic_card_corpus(32, 64, q_per=4)
+    train_dir = tmp_path / "train"
+    train_dir.mkdir()
+    for i in range(cards.shape[0]):
+        Image.fromarray((cards[i] * 255).astype(np.uint8)).save(
+            train_dir / f"card_{i:03d}.png")
+
+    cfg = SiameseConfig(
+        train_dir=train_dir, valid_dir=train_dir,
+        ckpt_dir=tmp_path / "ckpts", log_file=tmp_path / "m.jsonl",
+        backbone="densenet-tiny", image_size=(64, 64), embedding_dim=32,
+        freeze_backbone=False, loss="self_supervised_circle",
+        lr=1e-4, batch_size=16,
+    )
+    tr = Trainer(cfg)
+    embed = lambda x: tr.embed(x, batch_size=32)  # noqa: E731
+    before = card_retrieval_metrics(embed, cards, queries, qlabel)
+    tr.run(epochs=12, steps_per_epoch=8, val_steps=1)
+    after = card_retrieval_metrics(embed, cards, queries, qlabel)
+    assert after["recall_at_1"] >= before["recall_at_1"] + 0.25, (before, after)
+    assert after["gap"] >= before["gap"] + 0.2, (before, after)
+
+
 def test_trainer_dp_sharded_step(card_corpus):
     from image_search_engine_tpu.parallel.mesh import make_mesh
 
