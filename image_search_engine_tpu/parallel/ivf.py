@@ -39,7 +39,16 @@ class ShardedIVF:
     """Device-resident sharded IVF built from host arrays.
 
     Build with ``from_components`` (vectors + global centroids); search is
-    one shard_map program.
+    one shard_map program. Each shard holds its rows in the same
+    list-contiguous PACKED layout as the single-chip ``IVFIndex`` — (nb,
+    cap, d) bucket blocks + (nb, cap) pad-poisoned norms — so the
+    shard-local scan runs the fused probed-scan kernel
+    (ops/ivf_pallas.ivf_probed_topk): every grid step DMAs the probed
+    bucket blocks straight into VMEM instead of materializing the
+    (Q, nprobe*cap, d) XLA gather buffer that made batched IVF "100x
+    slower" single-chip (round-2 fix, BENCH_NOTES "Batched IVF via the
+    fused probed-scan kernel": 118.7k QPS at 1M/Q=1024 — the per-shard
+    cost model, at 1/S the rows per shard).
     """
 
     def __init__(self, mesh: Mesh, axis: str = "data", metric: str = "l2"):
@@ -50,7 +59,8 @@ class ShardedIVF:
         self.metric = metric
         self.centroids = None  # (nlist, d) replicated cell centroids
         self.bucket_centroids = None  # (S*nb, d) sharded; pads poisoned far
-        self.rows = None  # (S*R, d) row-sharded
+        self.packed = None  # (S*nb, cap, d) list-contiguous rows, sharded
+        self.packed_norms = None  # (S*nb, cap) f32, +inf at pad slots
         self.lists = None  # (S*nb, cap) sharded on first axis
         self.n = 0
         self.rows_per_shard = 0
@@ -105,12 +115,6 @@ class ShardedIVF:
         nlist = centroids.shape[0]
         s = mesh.shape[axis]
         r = round_up(-(-n // s), 8)  # rows per shard
-        npad = r * s
-
-        xp = np.zeros((npad, d), np.float32)
-        xp[:n] = x
-        xp_dev = jnp.asarray(xp, jnp.bfloat16) if table_dtype == "bf16" \
-            else jnp.asarray(xp)
         codes = np.asarray(assign_jax(jnp.asarray(x), jnp.asarray(centroids))[0])
 
         # per-shard balanced buckets over local rows (global row ids):
@@ -122,21 +126,51 @@ class ShardedIVF:
         per_shard = []
         for si in range(s):
             lo, hi = si * r, min((si + 1) * r, n)
-            lst, b_cell = _build_buckets(codes[lo:hi], nlist)
-            lst = np.where(lst >= 0, lst + lo, -1).astype(np.int32)
-            per_shard.append((lst, b_cell))
-        cap = max(l.shape[1] for l, _ in per_shard)
-        nb = max(l.shape[0] for l, _ in per_shard)
+            if lo >= n:
+                # more devices than row blocks: keep shapes uniform with
+                # one all-pad bucket
+                lst = np.full((1, 8), -1, np.int32)
+                b_cell = np.zeros(1, np.int32)
+            else:
+                lst, b_cell = _build_buckets(codes[lo:hi], nlist)
+            per_shard.append((lo, lst, b_cell))
+        cap = max(l.shape[1] for _, l, _ in per_shard)
+        nb = max(l.shape[0] for _, l, _ in per_shard)
         lists = np.full((s, nb, cap), -1, np.int32)
         # pad-bucket centroids poisoned far away so they rank last
         bcents = np.full((s, nb, d), 1e15, np.float32)
-        for si, (l, b_cell) in enumerate(per_shard):
-            lists[si, : l.shape[0], : l.shape[1]] = l
+        # shard-local packed tables (IVFIndex._pack layout): probing a
+        # bucket is one contiguous (cap, d) block DMA for the fused kernel
+        packed = np.zeros((s, nb, cap, d), np.float32)
+        for si, (lo, l, b_cell) in enumerate(per_shard):
+            valid = l >= 0
+            lists[si, : l.shape[0], : l.shape[1]] = np.where(l >= 0, l + lo, -1)
             bcents[si, : l.shape[0]] = centroids[b_cell]
+            if lo >= n:  # empty shard: all-pad bucket, nothing to pack
+                continue
+            rows = x[lo + np.maximum(l, 0)]
+            rows[~valid] = 0.0
+            packed[si, : l.shape[0], : l.shape[1]] = rows
+        table = jnp.asarray(packed.reshape(s * nb, cap, d))
+        if table_dtype == "bf16":
+            # halve the per-shard table; norms come from the rounded values
+            # so the probed scan stays exact over the stored table (same
+            # contract as IVFIndex(table_dtype="bf16"), which also measured
+            # 2.1x faster on the HBM-bound scan)
+            table = table.astype(jnp.bfloat16)
+        table32 = np.asarray(table, np.float32).reshape(s, nb, cap, d)
+        pnorms = np.where(
+            lists >= 0, (table32 * table32).sum(axis=3), np.inf
+        ).astype(np.float32)
 
         self.centroids = jax.device_put(jnp.asarray(centroids, jnp.float32),
                                         NamedSharding(mesh, P()))
-        self.rows = jax.device_put(xp_dev, NamedSharding(mesh, P(axis, None)))
+        self.packed = jax.device_put(
+            table, NamedSharding(mesh, P(axis, None, None)))
+        self.packed_norms = jax.device_put(
+            jnp.asarray(pnorms.reshape(s * nb, cap)),
+            NamedSharding(mesh, P(axis, None)),
+        )
         self.lists = jax.device_put(
             jnp.asarray(lists.reshape(s * nb, cap)),
             NamedSharding(mesh, P(axis, None)),
@@ -155,38 +189,55 @@ class ShardedIVF:
         self.nprobe = int(min(nb, max(nprobe, -(-nprobe * nb // nlist))))
         return self
 
-    def search(self, q: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+    def search(self, q: np.ndarray, k: int,
+               impl: str = "pallas") -> Tuple[np.ndarray, np.ndarray]:
+        """``impl="pallas"`` (default) runs the fused probed-scan kernel
+        per shard — no (Q, nprobe*cap, d) gather buffer, the round-2
+        single-chip fix carried onto the mesh. ``impl="xla"`` keeps the
+        gather-based reference scan for parity tests (it is the memory-
+        bound formulation; do not serve with it at real Q)."""
+        if impl not in ("pallas", "xla"):
+            raise ValueError("impl must be pallas or xla")
         q = jnp.asarray(self._prep_query(q))
         nprobe = self.nprobe
-        r = self.rows_per_shard
         max_l = self.lists.shape[1]
         n, axis = self.n, self.axis
         k_eff = min(k, max(1, min(n, self.mesh.shape[axis] * nprobe * max_l)))
+        kk = min(k_eff, nprobe * max_l)
 
-        def shard_fn(qr, bcents, rows_local, lists_local):
-            base = jax.lax.axis_index(axis) * r
-            # nearest nprobe LOCAL buckets (pad buckets poisoned far away)
-            cn = jnp.sum(bcents * bcents, axis=1)
-            cd = cn[None, :] - 2.0 * jnp.dot(qr, bcents.T, preferred_element_type=jnp.float32)
-            _, probe = jax.lax.top_k(-cd, nprobe)  # (Q, nprobe)
+        def shard_fn(qr, bcents, packed_local, pnorms_local, lists_local):
+            if impl == "pallas":
+                from image_search_engine_tpu.ops.ivf_pallas import ivf_probed_topk
 
-            cand = lists_local[probe].reshape(qr.shape[0], nprobe * max_l)  # global ids
-            valid = cand >= 0
-            local_idx = jnp.clip(cand - base, 0, r - 1)
-            # cast up AFTER the gather so a bf16 table also halves the
-            # gather traffic; distances are exact over the stored values
-            vecs = rows_local[local_idx].astype(jnp.float32)  # (Q, C, d)
-            qn = jnp.sum(qr * qr, axis=1, keepdims=True)
-            vn = jnp.sum(vecs * vecs, axis=2)
-            cross = jnp.einsum("qd,qcd->qc", qr, vecs, preferred_element_type=jnp.float32)
-            dist = jnp.where(valid, qn - 2.0 * cross + vn, jnp.inf)
-
-            kk = min(k_eff, nprobe * max_l)
-            vals, pos = jax.lax.top_k(-dist, kk)
-            ids = jnp.take_along_axis(cand, pos, axis=1)
+                dloc, ids, ok = ivf_probed_topk(
+                    qr, bcents, packed_local, pnorms_local, lists_local,
+                    kk, nprobe,
+                )
+                dist = jnp.where(ok, dloc, jnp.inf)
+                ids = jnp.where(ok, ids, -1)
+            else:
+                # reference XLA scan over the same packed layout — gathers
+                # the full (Q, nprobe, cap, d) candidate buffer
+                cn = jnp.sum(bcents * bcents, axis=1)
+                cd = cn[None, :] - 2.0 * jnp.dot(
+                    qr, bcents.T, preferred_element_type=jnp.float32)
+                _, probe = jax.lax.top_k(-cd, nprobe)  # (Q, nprobe)
+                cand = lists_local[probe].reshape(qr.shape[0], nprobe * max_l)
+                vecs = packed_local[probe].reshape(
+                    qr.shape[0], nprobe * max_l, -1).astype(jnp.float32)
+                vn = pnorms_local[probe].reshape(qr.shape[0], nprobe * max_l)
+                qn = jnp.sum(qr * qr, axis=1, keepdims=True)
+                cross = jnp.einsum("qd,qcd->qc", qr, vecs,
+                                   preferred_element_type=jnp.float32)
+                # pad slots carry +inf norms -> +inf distance
+                dscan = jnp.maximum(qn - 2.0 * cross + vn, 0.0)
+                dscan = jnp.where(cand >= 0, dscan, jnp.inf)
+                vals, pos = jax.lax.top_k(-dscan, kk)
+                dist = -vals
+                ids = jnp.take_along_axis(cand, pos, axis=1)
 
             # merge across shards
-            d_all = jax.lax.all_gather(-vals, axis)  # (S, Q, kk) distances
+            d_all = jax.lax.all_gather(dist, axis)  # (S, Q, kk) distances
             i_all = jax.lax.all_gather(ids, axis)
             d_cat = jnp.swapaxes(d_all, 0, 1).reshape(qr.shape[0], -1)
             i_cat = jnp.swapaxes(i_all, 0, 1).reshape(qr.shape[0], -1)
@@ -197,12 +248,30 @@ class ShardedIVF:
         f = jax.shard_map(
             shard_fn,
             mesh=self.mesh,
-            in_specs=(P(), P(axis, None), P(axis, None), P(axis, None)),
+            in_specs=(P(), P(axis, None), P(axis, None, None),
+                      P(axis, None), P(axis, None)),
             out_specs=(P(), P()),
             check_vma=False,
         )
-        d, i = jax.device_get(f(q, self.bucket_centroids, self.rows, self.lists))
+        d, i = jax.device_get(f(q, self.bucket_centroids, self.packed,
+                                self.packed_norms, self.lists))
         return self._finish(np.array(d), np.array(i), k)
+
+
+def _local_exact_rerank(qr, cand, raw_local, rnorm_local, axis: str, r: int):
+    """Exact re-score of shard-local candidates (GLOBAL row ids) against
+    the shard's row-major raw rows: local row = id - shard_base (block
+    partition). Pad/-1 candidates score +inf; rnorm pads carry +inf too,
+    so out-of-corpus rows can never win the merge."""
+    base = jax.lax.axis_index(axis) * r
+    local = jnp.clip(cand - base, 0, r - 1)
+    rows = raw_local[local]  # (Q, C, d)
+    rn = rnorm_local[local]
+    qn = jnp.sum(qr * qr, axis=1, keepdims=True)
+    cross = jnp.einsum("qd,qcd->qc", qr, rows,
+                       preferred_element_type=jnp.float32)
+    exact = jnp.maximum(qn - 2.0 * cross + rn, 0.0)
+    return jnp.where(cand >= 0, exact, jnp.inf)
 
 
 class ShardedIVFPQ(ShardedIVF):
@@ -224,12 +293,13 @@ class ShardedIVFPQ(ShardedIVF):
         self.packed_codes = None  # (S*nb, cap, m) sharded on first axis
         self.m = 0
         # exact-rerank state (optional, mirrors IVFPQIndex.rerank): raw
-        # rows packed per shard so the refine stage stays shard-LOCAL —
-        # each shard re-scores only its own ADC shortlist, then exact
-        # distances ride the same all_gather merge
+        # rows ROW-MAJOR per shard (global id - shard base addresses them
+        # directly) so the refine stage stays shard-LOCAL — each shard
+        # re-scores only its own ADC shortlist, then exact distances ride
+        # the same all_gather merge
         self.rerank = 0
-        self.packed_raw = None  # (S*nb, cap, d) sharded, f32
-        self.packed_rnorms = None  # (S*nb, cap) sharded, +inf at pads
+        self.raw_rows = None  # (S*r, d) row-sharded f32
+        self.raw_norms = None  # (S*r,) sharded, +inf at pad rows
 
     @classmethod
     def from_codes(
@@ -287,19 +357,11 @@ class ShardedIVFPQ(ShardedIVF):
         # uint8 — one byte per subspace on device (the docstring's ~N*m
         # bytes across the mesh); ADC widens per one-hot slice below
         pcodes = np.zeros((s, nb, cap, m), np.uint8)
-        if raw is not None:
-            praw = np.zeros((s, nb, cap, d), np.float32)
-            prnorm = np.full((s, nb, cap), np.inf, np.float32)
         for si, (l, b_cell) in enumerate(per_shard):
             lists[si, : l.shape[0], : l.shape[1]] = l
             bcents[si, : l.shape[0]] = centroids[b_cell]
             valid = l >= 0
             pcodes[si, : l.shape[0], : l.shape[1]][valid] = codes[l[valid]]
-            if raw is not None:
-                rows = raw[l[valid]].astype(np.float32)
-                praw[si, : l.shape[0], : l.shape[1]][valid] = rows
-                prnorm[si, : l.shape[0], : l.shape[1]][valid] = (
-                    rows * rows).sum(axis=1)
 
         rep = NamedSharding(mesh, P())
         shard0 = NamedSharding(mesh, P(axis, *([None] * 2)))
@@ -315,16 +377,20 @@ class ShardedIVFPQ(ShardedIVF):
             jnp.asarray(pcodes.reshape(s * nb, cap, m)), shard0
         )
         if raw is not None:
-            self.packed_raw = jax.device_put(
-                jnp.asarray(praw.reshape(s * nb, cap, d)), shard0
-            )
-            self.packed_rnorms = jax.device_put(
-                jnp.asarray(prnorm.reshape(s * nb, cap)),
-                NamedSharding(mesh, P(axis, None)),
-            )
+            # row-major per shard: a candidate's raw row is raw_rows[id -
+            # shard_base] — no packed duplicate, N*d*4 total on the mesh
+            rr = np.zeros((s * r, d), np.float32)
+            rr[:n] = np.asarray(raw, np.float32)
+            rn = np.full(s * r, np.inf, np.float32)
+            rn[:n] = (rr[:n] * rr[:n]).sum(axis=1)
+            self.raw_rows = jax.device_put(
+                jnp.asarray(rr), NamedSharding(mesh, P(axis, None)))
+            self.raw_norms = jax.device_put(
+                jnp.asarray(rn), NamedSharding(mesh, P(axis)))
             self.rerank = int(rerank)
         self.n = n
         self.m = m
+        self.rows_per_shard = r
         self.nlist = nlist
         self.nbuckets = nb
         self.nprobe = int(min(nb, max(nprobe, -(-nprobe * nb // nlist))))
@@ -352,10 +418,85 @@ class ShardedIVFPQ(ShardedIVF):
             rerank=index.rerank if has_raw else 0,
         )
 
+    def search_batched(self, q: np.ndarray, k: int,
+                       rerank: Optional[int] = None
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+        """Batch-throughput PQ search on the mesh: each shard decompresses
+        its OWN codes into a bf16 reconstruction table
+        (index/ivf._pq_reconstruct_table — scanning it IS ADC semantics up
+        to bf16 rounding) and scans it with the fused probed-scan kernel;
+        optional shard-local exact rerank, then the all_gather merge. The
+        sharded sibling of ``IVFPQIndex.search_batched`` — the path that
+        measured 252.4k QPS single-chip at 1M (BENCH_NOTES "recon-scan"),
+        here at 1/S rows per shard. The table is a per-dispatch transient:
+        resting mesh memory stays codes-only."""
+        rerank = self.rerank if rerank is None else rerank
+        if rerank and self.raw_rows is None:
+            raise ValueError(
+                "rerank needs raw vectors on the mesh; rebuild with "
+                "from_codes(raw=...) or an artifact saved store_raw=True"
+            )
+        from image_search_engine_tpu.index.ivf import _pq_reconstruct_table
+        from image_search_engine_tpu.ops.ivf_pallas import ivf_probed_topk
+
+        q = jnp.asarray(self._prep_query(q))
+        nprobe = self.nprobe
+        cap = self.lists.shape[1]
+        axis = self.axis
+        m = self.m
+        r = self.rows_per_shard
+        k_eff = min(k, max(1, min(self.n, self.mesh.shape[axis] * nprobe * cap)))
+        kk = min(k_eff, nprobe * cap)
+        c_eff = min(max(int(rerank), kk), nprobe * cap) if rerank else 0
+
+        def shard_fn(qr, bcents, lists_local, pcodes_local, books,
+                     raw_local=None, rnorm_local=None):
+            valid = lists_local >= 0
+            recon, rnorms = _pq_reconstruct_table(
+                pcodes_local, books, bcents, valid, m)
+            dloc, ids, ok = ivf_probed_topk(
+                qr, bcents, recon, rnorms, lists_local,
+                c_eff if c_eff else kk, nprobe,
+            )
+            if c_eff:
+                # shard-local exact refine over the kernel's ADC shortlist
+                # (ids are GLOBAL; this shard's raw rows are addressed by
+                # id - base)
+                ids = jnp.where(ok, ids, -1)
+                dist = _local_exact_rerank(qr, ids, raw_local, rnorm_local,
+                                           axis, r)
+            else:
+                dist = jnp.where(ok, dloc, jnp.inf)
+                ids = jnp.where(ok, ids, -1)
+
+            kk2 = min(k_eff, dist.shape[1])
+            vals, pos = jax.lax.top_k(-dist, kk2)
+            out_ids = jnp.take_along_axis(ids, pos, axis=1)
+            d_all = jax.lax.all_gather(-vals, axis)
+            i_all = jax.lax.all_gather(out_ids, axis)
+            d_cat = jnp.swapaxes(d_all, 0, 1).reshape(qr.shape[0], -1)
+            i_cat = jnp.swapaxes(i_all, 0, 1).reshape(qr.shape[0], -1)
+            mvals, mpos = jax.lax.top_k(-d_cat, k_eff)
+            mids = jnp.take_along_axis(i_cat, mpos, axis=1)
+            return -mvals, mids
+
+        in_specs = [P(), P(axis, None), P(axis, None), P(axis, None, None), P()]
+        args = [q, self.bucket_centroids, self.lists, self.packed_codes,
+                self.pq_books]
+        if c_eff:
+            in_specs += [P(axis, None), P(axis)]
+            args += [self.raw_rows, self.raw_norms]
+        f = jax.shard_map(
+            shard_fn, mesh=self.mesh, in_specs=tuple(in_specs),
+            out_specs=(P(), P()), check_vma=False,
+        )
+        dd, ii = jax.device_get(f(*args))
+        return self._finish(np.array(dd), np.array(ii), k)
+
     def search(self, q: np.ndarray, k: int,
                rerank: Optional[int] = None) -> Tuple[np.ndarray, np.ndarray]:
         rerank = self.rerank if rerank is None else rerank
-        if rerank and self.packed_raw is None:
+        if rerank and self.raw_rows is None:
             raise ValueError(
                 "rerank needs raw vectors on the mesh; rebuild with "
                 "from_codes(raw=...) or an artifact saved store_raw=True"
@@ -367,11 +508,12 @@ class ShardedIVFPQ(ShardedIVF):
         d = self.centroids.shape[1]
         dsub = d // m
         axis = self.axis
+        r = self.rows_per_shard
         k_eff = min(k, max(1, min(self.n, self.mesh.shape[axis] * nprobe * cap)))
         c_eff = min(max(int(rerank), k_eff), nprobe * cap) if rerank else 0
 
         def shard_fn(qr, bcents, lists_local, pcodes_local, books,
-                     praw_local=None, prnorm_local=None):
+                     raw_local=None, rnorm_local=None):
             qn_ = qr.shape[0]
             # rank local buckets (pads poisoned far away)
             cn = jnp.sum(bcents * bcents, axis=1)
@@ -415,20 +557,13 @@ class ShardedIVFPQ(ShardedIVF):
             if c_eff:
                 # shard-local refine (faiss IndexRefineFlat composed with
                 # the sharded index): the top-C ADC shortlist re-scored
-                # exactly from this shard's raw rows — pad slots carry
-                # +inf norms so they stay unreachable, and the merged
-                # ranking below compares EXACT distances across shards
+                # exactly from this shard's row-major raw rows (global id
+                # - shard base), and the merged ranking below compares
+                # EXACT distances across shards
                 _, spos = jax.lax.top_k(-dist, c_eff)  # (Q, C)
-                bkt = jnp.take_along_axis(probe, spos // cap, axis=1)
-                slot = spos % cap
-                rows = praw_local[bkt, slot]  # (Q, C, d)
-                rn = prnorm_local[bkt, slot]
-                qn2 = jnp.sum(qr * qr, axis=1, keepdims=True)
-                cross = jnp.einsum("qd,qcd->qc", qr, rows,
-                                   preferred_element_type=jnp.float32)
-                exact = qn2 - 2.0 * cross + rn
                 cand = jnp.take_along_axis(cand, spos, axis=1)
-                dist = jnp.where(cand < 0, jnp.inf, exact)
+                dist = _local_exact_rerank(qr, cand, raw_local, rnorm_local,
+                                           axis, r)
 
             kk = min(k_eff, c_eff or (nprobe * cap))
             vals, pos = jax.lax.top_k(-dist, kk)
@@ -446,8 +581,8 @@ class ShardedIVFPQ(ShardedIVF):
         args = [q, self.bucket_centroids, self.lists, self.packed_codes,
                 self.pq_books]
         if c_eff:
-            in_specs += [P(axis, None, None), P(axis, None)]
-            args += [self.packed_raw, self.packed_rnorms]
+            in_specs += [P(axis, None), P(axis)]
+            args += [self.raw_rows, self.raw_norms]
         f = jax.shard_map(
             shard_fn,
             mesh=self.mesh,
