@@ -62,12 +62,18 @@ class CornerDescriptor:
         self.n_levels = n_levels
         self.scale_step = scale_step
 
-    def describe_batch(self, images):
-        gray = rgb_to_gray(to_unit_f32(jnp.asarray(images)))
-        d, valid = corner_ops.detect_and_describe(
+    def describe_device(self, images):
+        """Traceable device chain (jnp in, jnp out) — lets callers fuse
+        description into a larger jitted program (the engine's one-dispatch
+        BoVW query path)."""
+        gray = rgb_to_gray(to_unit_f32(images))
+        return corner_ops.detect_and_describe(
             gray, self.kind, self.max_keypoints,
             n_levels=self.n_levels, scale_step=self.scale_step,
         )
+
+    def describe_batch(self, images):
+        d, valid = self.describe_device(jnp.asarray(images))
         return np.asarray(d), np.asarray(valid)
 
 
@@ -81,12 +87,15 @@ class DaisyDescriptor:
         self.kw = dict(step=step, radius=radius, rings=rings,
                        histograms=histograms, orientations=orientations)
 
-    def describe_batch(self, images):
-        gray = rgb_to_gray(to_unit_f32(jnp.asarray(images)))
+    def describe_device(self, images):
+        """Traceable device chain (jnp in, jnp out); see CornerDescriptor."""
+        gray = rgb_to_gray(to_unit_f32(images))
         d = daisy(gray, **self.kw)
-        d = np.asarray(d)
-        valid = np.ones(d.shape[:2], bool)
-        return d, valid
+        return d, jnp.ones(d.shape[:2], bool)
+
+    def describe_batch(self, images):
+        d, valid = self.describe_device(jnp.asarray(images))
+        return np.asarray(d), np.asarray(valid)
 
 
 class HOGDescriptor:

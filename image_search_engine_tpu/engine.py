@@ -16,8 +16,8 @@ Differences from the reference, by design:
   * query embedding + search is one batched jitted path, reused across
     requests (no per-request compilation).
 
-Also serves GET / with a minimal built-in upload UI (frontend replacement)
-and GET /healthz.
+Also serves GET / with the packaged upload UI (frontend/index.html — the
+same file works standalone over file://) and GET /healthz.
 """
 
 from __future__ import annotations
@@ -167,6 +167,9 @@ class QueryEngine:
             # mesh shards the INDEX; single-query embeds can't split over a
             # batch axis (batch=1), so the backbone runs replicated
             self._check_embedder_provenance(cfg)
+            from image_search_engine_tpu.indexer import warn_if_random_backbone
+
+            warn_if_random_backbone(cfg, "serving queries")
             embedder = CNNEmbedder(
                 cfg.dnn_model.value, image_size=cfg.resize_size, batch_size=1,
                 torch_weights=cfg.torch_weights,
@@ -236,6 +239,13 @@ class QueryEngine:
 
                 if cfg.micro_batch:
                     # collect concurrent uploads into one padded device batch
+                    log.warning(
+                        "--micro-batch measured STRICTLY WORSE at every "
+                        "concurrency on remote-tunnel topologies (independent "
+                        "dispatches already pipeline through the device "
+                        "stream; BENCH_NOTES 'Serving-layer scaling') — it "
+                        "only pays where per-dispatch overhead dominates "
+                        "device time; re-measure on your hardware")
                     from image_search_engine_tpu.serving.batching import MicroBatcher
 
                     self._batcher = MicroBatcher(
@@ -414,9 +424,95 @@ class QueryEngine:
             index = FlatIndex.load(cfg.bovw_index_path, mesh=mesh)
             self.index = index
 
+            if (index.mesh is None and index.metric != "chi2"
+                    and hasattr(descriptor, "describe_device")):
+                # fuse describe -> quantize -> histogram -> BM25 -> top-k
+                # into ONE jitted program with ONE host transfer. The
+                # generic sequence below pays a host hop between every
+                # stage (each a full RTT on the serving path — the DNN
+                # fused paths measured 1.6-2.1x from removing hops,
+                # BENCH_NOTES "Fused raw-IVF serving"). Index-sized arrays
+                # (codebook centroids, store, norms) ride as jit ARGUMENTS
+                # — closures bake into the compiled program as constants
+                # (remote_compile rejects ~512 MB). Guarded by
+                # test_fused_programs_close_over_no_arrays.
+                import functools as _ft
+
+                import jax
+                import jax.numpy as jnp
+
+                from image_search_engine_tpu.ops.bm25 import bm25_transform
+                from image_search_engine_tpu.ops.distances import l2_normalize
+                from image_search_engine_tpu.ops.histogram import batched_histograms
+                from image_search_engine_tpu.ops.kmeans import assign_jax
+                from image_search_engine_tpu.parallel.topk import local_topk_with_norms
+
+                n_clusters = pipeline.n_clusters
+                spherical = pipeline.spherical
+                bm = pipeline.bm25
+                avgdl = (float(bm.avgdl_)
+                         if (bm.use_train_avgdl and bm.avgdl_) else None)
+                idf = (jnp.asarray(bm.idf_)
+                       if (bm.apply_idf and bm.idf_ is not None) else None)
+                cents = jnp.asarray(pipeline.kmeans.cluster_centers_, jnp.float32)
+                search_metric = "ip" if index.metric in ("ip", "cosine") else index.metric
+                normalize = index.metric == "cosine"
+                store_v, store_n = index.store.vectors, index.store.norms
+                store_s = index.store.scales
+                n_valid = index.store.n
+
+                @_ft.partial(jax.jit, static_argnames=("k", "t_margin"))
+                def fused_bovw(images, cents_t, idf_t, store, norms, scales,
+                               k, t_margin=None):
+                    feats, valid = descriptor.describe_device(images)
+                    b, kp, dd = feats.shape
+                    rows = feats.reshape(-1, dd).astype(jnp.float32)
+                    if spherical:  # KMeans.transform parity (ops/kmeans.py)
+                        rows = l2_normalize(rows)
+                    codes, _ = assign_jax(rows, cents_t)
+                    hist = batched_histograms(
+                        codes.reshape(b, kp), valid, n_clusters)
+                    w = bm25_transform(
+                        hist, bm.k1, bm.k2, bm.b,
+                        avgdl=None if avgdl is None else jnp.float32(avgdl))
+                    if idf_t is not None:
+                        w = w * idf_t[None, :]
+                    if normalize:
+                        w = l2_normalize(w)
+                    return local_topk_with_norms(
+                        w, store, norms, k, search_metric,
+                        use_pallas=(jax.default_backend() == "tpu" and k <= 128),
+                        scales=scales, with_certificate=True, t_margin=t_margin,
+                    )
+
+                def search(image: np.ndarray, k: int):
+                    k_eff = min(k, n_valid)
+                    img = jnp.asarray(_resize_host(image, s)[None], jnp.float32)
+                    out = fused_bovw(img, cents, idf, store_v, store_n,
+                                     store_s, k_eff)
+                    d, i, cert = jax.device_get(out)  # one host transfer
+                    if not np.asarray(cert).all():
+                        log.warning("BoVW top-k certificate failed for %d "
+                                    "queries; re-running at wide margin",
+                                    int((~np.asarray(cert)).sum()))
+                        d, i, _ = jax.device_get(fused_bovw(
+                            img, cents, idf, store_v, store_n, store_s,
+                            k_eff, t_margin=32))
+                    d, i = np.array(d), np.array(i)
+                    if d.shape[1] < k:
+                        worst = -np.inf if search_metric == "ip" else np.inf
+                        d = np.pad(d, ((0, 0), (0, k - d.shape[1])),
+                                   constant_values=worst)
+                        i = np.pad(i, ((0, 0), (0, k - i.shape[1])),
+                                   constant_values=-1)
+                    return d, i
+
+                return search
+
             def search(image: np.ndarray, k: int):
-                # match the index-build image size (descriptor grids/keypoint
-                # budgets are resolution-dependent)
+                # generic fallback (sharded index / chi2 metric): match the
+                # index-build image size (descriptor grids/keypoint budgets
+                # are resolution-dependent)
                 img = _resize_host(image, s)
                 feats, valid = descriptor.describe_batch(img[None])
                 hist = pipeline.transform(feats, valid)
@@ -449,10 +545,9 @@ class QueryEngine:
         """Warn when this process's backbone differs from the one that
         built the index (embedder.json, written by the indexer): serving
         would silently return garbage rankings otherwise."""
-        import hashlib
         import json
 
-        from image_search_engine_tpu.indexer import EMBEDDER_ARCH
+        from image_search_engine_tpu.indexer import EMBEDDER_ARCH, _torch_weights_sha
 
         meta_path = cfg.artifacts_dir / "embedder.json"
         if not meta_path.exists():
@@ -472,19 +567,13 @@ class QueryEngine:
             meta = json.loads(meta_path.read_text())
         except (OSError, json.JSONDecodeError):
             return
-        sha = None
-        if cfg.torch_weights is not None:
-            # a bad path falls through to the embedder's own (clearer)
-            # error; hashing a multi-hundred-MB checkpoint per start is an
-            # accepted cost — it is what makes the check trustworthy
-            try:
-                h = hashlib.sha256()
-                with open(cfg.torch_weights, "rb") as f:
-                    for chunk in iter(lambda: f.read(1 << 20), b""):
-                        h.update(chunk)
-                sha = h.hexdigest()
-            except OSError:
-                sha = None
+        # a bad path falls through to the embedder's own (clearer) error;
+        # hashing a multi-hundred-MB checkpoint per start is an accepted
+        # cost — it is what makes the check trustworthy
+        try:
+            sha = _torch_weights_sha(cfg)
+        except OSError:
+            sha = None
         mismatches = []
         if meta.get("model") != cfg.dnn_model.value:
             mismatches.append(f"model {meta.get('model')} vs {cfg.dnn_model.value}")
@@ -575,7 +664,10 @@ class QueryEngine:
 # HTTP layer
 # --------------------------------------------------------------------------
 
-_UI_HTML = """<!doctype html>
+# file-missing fallback ONLY — the real page is the packaged
+# frontend/index.html (single source of truth, reference App.js parity);
+# this minimal copy keeps GET / alive if package data was stripped.
+_UI_FALLBACK_HTML = """<!doctype html>
 <html><head><title>tpu image search</title><style>
 body{font-family:sans-serif;margin:2rem;background:#fafafa}
 #grid{display:grid;grid-template-columns:repeat(5,1fr);gap:12px;margin-top:1rem}
@@ -595,6 +687,25 @@ document.getElementById('f').onchange = async (e) => {
      <div class="d">${Number(p[0]).toFixed(3)}<br>${p[2]}</div></div>`).join('');
 };
 </script></body></html>"""
+
+
+def _ui_html() -> str:
+    """The GET / page: the packaged frontend/index.html (one source of
+    truth — the same file works standalone over file://, like the
+    reference's CRA app), falling back to the inline copy only when the
+    package data is missing."""
+    try:
+        from importlib import resources
+
+        return (
+            resources.files("image_search_engine_tpu.frontend")
+            .joinpath("index.html")
+            .read_text(encoding="utf-8")
+        )
+    except Exception as e:  # noqa: BLE001 — a stripped install still serves
+        log.warning("packaged frontend/index.html unavailable (%s); "
+                    "serving the minimal fallback page", e)
+        return _UI_FALLBACK_HTML
 
 
 def _parse_multipart(headers, body: bytes) -> Optional[bytes]:
@@ -633,7 +744,7 @@ def make_handler(engine: QueryEngine):
             if self.path not in ("/", "/index.html"):
                 self._json(404, {"error": "unknown endpoint"})
                 return
-            page = _UI_HTML.encode()
+            page = _ui_html().encode()
             self.send_response(200)
             self.send_header("Content-Type", "text/html")
             self.send_header("Content-Length", str(len(page)))

@@ -41,9 +41,43 @@ EMBEDDER_ARCH = "conv-pad-v3"  # v3: BiT switched to HF-parity geometry
 # bit-50/bit-tiny embeddings moved; rebuild BiT indexes
 
 
+def _torch_weights_sha(cfg: Config):
+    """sha256 of the backbone checkpoint, or None for random init."""
+    import hashlib
+
+    if cfg.torch_weights is None:
+        return None
+    h = hashlib.sha256()
+    with open(cfg.torch_weights, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def warn_if_random_backbone(cfg: Config, doing: str) -> bool:
+    """Loud guardrail for the DNN method's quality parity: the reference
+    is pretrained-by-default (torchvision ``resnet50(IMAGENET1K_V2)`` /
+    HF ``google/bit-50``, backend/descriptors.py:161-172), so a user who
+    runs ``--method dnn`` without ``--torch-weights`` here would silently
+    get embeddings from a RANDOMLY INITIALIZED backbone. Returns True
+    when that is about to happen (and says so at WARNING level)."""
+    if cfg.method != Method.DNN or cfg.torch_weights is not None:
+        return False
+    log.warning(
+        "%s with a RANDOMLY INITIALIZED %s backbone (no --torch-weights): "
+        "embeddings carry no semantics and retrieval quality will be near "
+        "chance. Pass --torch-weights <checkpoint.pth> (torchvision/HF "
+        "layout, see models/torch_import.py) for the reference's "
+        "pretrained-by-default behavior.",
+        doing, cfg.dnn_model.value,
+    )
+    return True
+
+
 def build_dnn_index(cfg: Config, paths, mesh=None, use_native: bool = False) -> None:
     from image_search_engine_tpu.models.embedder import CNNEmbedder
 
+    warn_if_random_backbone(cfg, "building a DNN index")
     embedder = CNNEmbedder(
         cfg.dnn_model.value, image_size=cfg.resize_size,
         batch_size=cfg.embed_batch_size, mesh=mesh,
@@ -94,20 +128,16 @@ def _save_embedder_provenance(cfg: Config) -> None:
     engine can detect a mismatched backbone at serve time — embeddings
     from a different weights file or geometry are a silent quality bug,
     not an error, without this."""
-    import hashlib
     import json
 
-    sha = None
-    if cfg.torch_weights is not None:
-        h = hashlib.sha256()
-        with open(cfg.torch_weights, "rb") as f:
-            for chunk in iter(lambda: f.read(1 << 20), b""):
-                h.update(chunk)
-        sha = h.hexdigest()
+    sha = _torch_weights_sha(cfg)
     (cfg.artifacts_dir / "embedder.json").write_text(json.dumps({
         "model": cfg.dnn_model.value,
         "resize_size": cfg.resize_size,
         "arch": EMBEDDER_ARCH,
+        # human-auditable provenance: what initialized the backbone that
+        # produced the stored embeddings
+        "weights": "random" if sha is None else f"torch:{sha}",
         "torch_weights_sha256": sha,
     }))
 

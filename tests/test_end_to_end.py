@@ -120,6 +120,44 @@ def test_bovw_index_and_query(corpus_dir):
     assert Path(engine.paths[2]).name in names
 
 
+@pytest.mark.parametrize("kind,kw", [
+    (CornerDescriptorKind.DAISY, dict(daisy_step=16, daisy_radius=16)),
+    (CornerDescriptorKind.ORB, dict(max_descriptors_per_image=32)),
+])
+def test_bovw_fused_query_matches_generic_chain(corpus_dir, kind, kw):
+    """The engine's one-dispatch fused BoVW program (describe -> quantize
+    -> histogram -> BM25 -> top-k) must produce the same ranking as the
+    explicit stage-by-stage chain it replaced."""
+    cfg = _cfg(corpus_dir, method=Method.BOVW, corner_descriptor=kind,
+               index_type=IndexType.COSINE, num_clusters=16,
+               resize_size=96, **kw)
+    indexer_main(cfg)
+    engine = QueryEngine(cfg, prewarm=False)
+
+    from image_search_engine_tpu.bovw.pipeline import BoVWPipeline
+    from image_search_engine_tpu.descriptors import make_descriptor
+    from image_search_engine_tpu.engine import _resize_host
+    from image_search_engine_tpu.index.flat import FlatIndex
+    from image_search_engine_tpu.utils.imageio import load_image
+
+    pipeline = BoVWPipeline.load(cfg.bovw_pipeline_path)
+    descriptor = make_descriptor(cfg)
+    index = FlatIndex.load(cfg.bovw_index_path)
+
+    for p in engine.paths[:3]:
+        img = load_image(p)
+        d_f, i_f = engine._search(img, 5)
+        feats, valid = descriptor.describe_batch(
+            _resize_host(img, cfg.resize_size)[None])
+        hist = pipeline.transform(feats, valid)
+        d_g, i_g = index.search(hist.astype(np.float32), 5)
+        # same candidate sets; distances equal where ids agree (histogram
+        # near-ties may swap order between accumulation schemes)
+        assert set(i_f[0].tolist()) == set(i_g[0].tolist()), (i_f, i_g)
+        np.testing.assert_allclose(np.sort(d_f[0]), np.sort(d_g[0]),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_dhash_index_and_query(corpus_dir):
     cfg = _cfg(corpus_dir, method=Method.DHASH)
     indexer_main(cfg)
@@ -177,9 +215,18 @@ def test_http_contract(corpus_dir):
         except urllib.error.HTTPError as e:
             assert e.code == 400
 
-        # UI only at /; unknown GET paths are 404
+        # UI only at /; unknown GET paths are 404. The page served is the
+        # PACKAGED frontend/index.html (single source of truth — its status
+        # element distinguishes it from the inline fallback copy).
+        from importlib import resources
+
+        packaged = (
+            resources.files("image_search_engine_tpu.frontend")
+            .joinpath("index.html").read_text(encoding="utf-8")
+        )
         with urllib.request.urlopen(f"http://127.0.0.1:{port}/") as r:
-            assert b"<html" in r.read()[:200]
+            page = r.read().decode("utf-8")
+        assert page == packaged and 'id="status"' in page
         try:
             urllib.request.urlopen(f"http://127.0.0.1:{port}/nope")
             raise AssertionError("expected 404")
@@ -345,6 +392,45 @@ def test_embedder_provenance_warns_on_mismatch(corpus_dir, caplog):
     with caplog.at_level(_logging.WARNING, logger="image_search_engine_tpu.engine"):
         QueryEngine(cfg2, prewarm=False)
     assert [r for r in caplog.records if "embedder mismatch" in r.message]
+
+
+def test_random_init_backbone_guardrail(corpus_dir, caplog):
+    """The reference's DNN method is pretrained-by-default
+    (backend/descriptors.py:161-172); here --method dnn without
+    --torch-weights must WARN loudly at index build AND at serve startup,
+    and the provenance record must say weights="random"."""
+    import logging as _logging
+
+    cfg = _cfg(corpus_dir, method=Method.DNN, dnn_model=DnnModel.RESNET_TINY,
+               index_type=IndexType.L2)
+    with caplog.at_level(_logging.WARNING):
+        indexer_main(cfg)
+    assert [r for r in caplog.records if "RANDOMLY INITIALIZED" in r.message]
+    meta = json.loads((cfg.artifacts_dir / "embedder.json").read_text())
+    assert meta["weights"] == "random"
+    caplog.clear()
+    with caplog.at_level(_logging.WARNING):
+        QueryEngine(cfg, prewarm=False)
+    assert [r for r in caplog.records if "RANDOMLY INITIALIZED" in r.message]
+
+
+def test_torch_weights_recorded_and_no_guardrail_warning(corpus_dir, caplog):
+    import logging as _logging
+
+    import torch
+    from test_torch_import import TorchResNet
+
+    p = corpus_dir / "backbone.pth"
+    torch.save(TorchResNet((1, 1, 1, 1)).state_dict(), p)
+    cfg = _cfg(corpus_dir, method=Method.DNN, dnn_model=DnnModel.RESNET_TINY,
+               index_type=IndexType.L2, torch_weights=p)
+    with caplog.at_level(_logging.WARNING):
+        indexer_main(cfg)
+        QueryEngine(cfg, prewarm=False)
+    assert not [r for r in caplog.records if "RANDOMLY INITIALIZED" in r.message]
+    meta = json.loads((cfg.artifacts_dir / "embedder.json").read_text())
+    assert meta["weights"].startswith("torch:") and len(meta["weights"]) == 70
+    assert meta["torch_weights_sha256"] == meta["weights"][len("torch:"):]
 
 
 def test_engine_cell_probe_unsharded_fused(corpus_dir):
@@ -534,8 +620,15 @@ def test_fused_programs_close_over_no_arrays(corpus_dir, monkeypatch):
         indexer_main(cfg)
         QueryEngine(cfg, prewarm=False)
 
-    # positive control: the spy must have seen all three fused serving
+    # the BoVW fused program too (codebook centroids + store must ride
+    # as arguments, same rule)
+    cfg = _cfg(corpus_dir, method=Method.BOVW, index_type=IndexType.COSINE,
+               corner_descriptor=CornerDescriptorKind.DAISY, num_clusters=8)
+    indexer_main(cfg)
+    QueryEngine(cfg, prewarm=False)
+
+    # positive control: the spy must have seen all four fused serving
     # programs — if engine.py renames them or stops routing through
     # jax.jit, this guard would otherwise pass vacuously
-    assert {"fused", "fused_ivf", "fused_pq"} <= intercepted, intercepted
+    assert {"fused", "fused_ivf", "fused_pq", "fused_bovw"} <= intercepted, intercepted
     assert flagged == [], f"fused programs close over arrays: {flagged}"
