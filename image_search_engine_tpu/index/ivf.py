@@ -202,26 +202,41 @@ class IVFIndex:
         codes, _ = assign_jax(jnp.asarray(x), jnp.asarray(self.centroids))
         return np.asarray(codes)
 
+    #: bytes per streamed pack chunk (host-memory high-water knob)
+    PACK_CHUNK_BYTES = 128 << 20
+
     def _pack(self) -> None:
         """List-contiguous vector layout: probing a bucket reads one
         contiguous (cap, d) block instead of cap random rows. Split cells'
         buckets duplicate the cell centroid so probing ranks buckets; the
         duplicates tie at the cell's distance, so a split cell's buckets
-        are probed adjacently."""
-        self.packed = self.vectors[np.maximum(self.lists, 0)]
-        self.packed[~self.list_valid] = 0.0
-        if self.table_dtype == "bf16":
-            # halve the probe table (its (nbuckets, cap, d) layout is the
-            # memory hot spot — a 1M build measured 3.4 GB unbalanced);
-            # norms come from the rounded values so the probed scan stays
-            # exact over the stored table
-            import jax.numpy as _jnp
+        are probed adjacently.
 
-            self.packed = self.packed.astype(_jnp.bfloat16)
-        packed32 = self.packed.astype(np.float32)
-        self.packed_norms = np.where(
-            self.list_valid, (packed32 * packed32).sum(axis=2), np.inf
-        ).astype(np.float32)
+        The table is built by STREAMING bucket blocks into a preallocated
+        array (faiss's ``add`` is likewise incremental, reference
+        utils.py:322-329): build-time host high-water is corpus + final
+        table + one ~128 MB chunk. The old whole-array fancy-index built
+        up to two extra full-size temporaries (an f32 gather result, then
+        an astype copy for bf16 tables, then ANOTHER f32 copy for norms) —
+        ~3.9x N*d*4 peak for a bf16 table vs ~1.65x streamed."""
+        import ml_dtypes
+
+        nb, cap = self.lists.shape
+        d = self.vectors.shape[1]
+        dt = np.float32 if self.table_dtype == "f32" else ml_dtypes.bfloat16
+        self.packed = np.zeros((nb, cap, d), dt)
+        self.packed_norms = np.full((nb, cap), np.inf, np.float32)
+        chunk = max(1, self.PACK_CHUNK_BYTES // max(cap * d * 4, 1))
+        for s in range(0, nb, chunk):
+            lst = self.lists[s : s + chunk]
+            blk = self.vectors[np.maximum(lst, 0)]
+            blk[lst < 0] = 0.0
+            self.packed[s : s + chunk] = blk  # casts on assignment (bf16)
+            # norms from the ROUNDED stored values so the probed scan
+            # stays exact over the table it actually scans
+            blk32 = self.packed[s : s + chunk].astype(np.float32)
+            self.packed_norms[s : s + chunk] = np.where(
+                lst >= 0, (blk32 * blk32).sum(axis=2), np.inf)
         self.bucket_centroids = self.centroids[self.bucket_cell]
         self._dev = None  # invalidate cached device arrays
 
@@ -538,11 +553,18 @@ class IVFPQIndex(IVFIndex):
         return self
 
     def _pack_codes(self) -> None:
-        """List-contiguous code layout, mirroring IVFIndex._pack. Stays
-        uint8 on device — a byte per subspace is PQ's whole point; the
-        ADC kernels widen per (Q, L) slice at the one-hot site."""
-        self.packed_codes = self.codes[np.maximum(self.lists, 0)]
-        self.packed_codes[~self.list_valid] = 0
+        """List-contiguous code layout, mirroring IVFIndex._pack (and its
+        streamed build — no whole-table gather temporary). Stays uint8 on
+        device — a byte per subspace is PQ's whole point; the ADC kernels
+        widen per (Q, L) slice at the one-hot site."""
+        nb, cap = self.lists.shape
+        self.packed_codes = np.zeros((nb, cap, self.m), np.uint8)
+        chunk = max(1, self.PACK_CHUNK_BYTES // max(cap * self.m, 1))
+        for s in range(0, nb, chunk):
+            lst = self.lists[s : s + chunk]
+            blk = self.codes[np.maximum(lst, 0)]
+            blk[lst < 0] = 0
+            self.packed_codes[s : s + chunk] = blk
         self._dev_pq = None
         self._dev_raw = None
         self._recon_tab = None
