@@ -178,22 +178,28 @@ class QueryEngine:
             self.index = index
             s = cfg.resize_size
 
-            if isinstance(index, FlatIndex) and index.mesh is None:
+            if isinstance(index, FlatIndex) and index.metric != "chi2":
                 # fuse embed + search into ONE jitted program: embeddings
                 # never round-trip to host between the backbone and the
-                # index scan (each host hop costs a full RTT)
+                # index scan (each host hop costs a full RTT). On a mesh
+                # the search step is the shard_map'd distributed top-k
+                # (per-shard scan + ICI all_gather merge) INSIDE the same
+                # program — shard_map composes under jit, so sharded
+                # serving keeps the one-transfer-per-query structure too.
                 import functools as _ft
 
                 import jax
                 import jax.numpy as jnp
 
-                from image_search_engine_tpu.parallel.topk import local_topk_with_norms
+                from image_search_engine_tpu.parallel.topk import (
+                    distributed_topk, local_topk_with_norms)
 
                 search_metric = "ip" if index.metric in ("ip", "cosine") else index.metric
                 normalize = index.metric == "cosine"
                 store_v, store_n = index.store.vectors, index.store.norms
                 store_s = index.store.scales
                 n_valid = index.store.n
+                mesh_obj, mesh_axis = index.mesh, index.axis
                 embed = _make_embed_fn(embedder, s, normalize)
 
                 @_ft.partial(jax.jit, static_argnames=("k", "t_margin"))
@@ -204,6 +210,12 @@ class QueryEngine:
                     # device->host transfer as the results (host-side
                     # escalation: data-dependent control flow can't live
                     # inside the jitted program)
+                    if mesh_obj is not None:
+                        return distributed_topk(
+                            emb, store, norms, k, search_metric, mesh_obj,
+                            mesh_axis, scales_sharded=scales,
+                            with_certificate=True, t_margin=t_margin,
+                        )
                     return local_topk_with_norms(
                         emb, store, norms, k, search_metric,
                         use_pallas=jax.default_backend() == "tpu",
@@ -265,6 +277,98 @@ class QueryEngine:
 
                 def search(image: np.ndarray, k: int):
                     return batched_search(_resize_host(image, s)[None], k)
+
+                return search
+
+            from image_search_engine_tpu.parallel.ivf import (
+                ShardedIVF, ShardedIVFPQ, sharded_ivf_scan,
+                sharded_pq_recon_scan)
+
+            if isinstance(index, ShardedIVFPQ):
+                # mesh PQ serving, fused: CNN embed + per-shard probed scan
+                # over startup-resident SHARDED bf16 reconstruction tables
+                # (the recon_cache analog, build_recon_tables) + optional
+                # shard-local exact rerank + ICI merge — one jitted
+                # program, one host transfer per query. All index-sized
+                # arrays ride as jit arguments (closure-bake rule).
+                import functools as _ft
+
+                import jax
+                import jax.numpy as jnp
+
+                normalize = index.metric == "cosine"
+                nprobe = index.nprobe
+                cap = index.lists.shape[1]
+                pool = index.mesh.shape[index.axis] * nprobe * cap
+                recon_t, rnorms_t = index.build_recon_tables()
+                mesh_obj, mesh_axis = index.mesh, index.axis
+                m_, rps = index.m, index.rows_per_shard
+                rerank = index.rerank
+                embed = _make_embed_fn(embedder, s, normalize)
+
+                @_ft.partial(jax.jit, static_argnames=("k", "c"))
+                def fused_sharded_pq(params, batch_stats, images, bcents_t,
+                                     lists_t, pcodes_t, books_t, recon_a,
+                                     rnorms_a, raw_t, rawn_t, k, c):
+                    emb = embed(params, batch_stats, images)
+                    return sharded_pq_recon_scan(
+                        emb, bcents_t, lists_t, pcodes_t, books_t,
+                        mesh=mesh_obj, axis=mesh_axis, nprobe=nprobe, m=m_,
+                        rows_per_shard=rps, k_eff=k, c_eff=c,
+                        raw_rows=raw_t, raw_norms=rawn_t,
+                        recon=recon_a, rnorms=rnorms_a,
+                    )
+
+                def search(image: np.ndarray, k: int):
+                    k_eff = min(k, max(1, min(index.n, pool)))
+                    c_eff = (min(max(rerank, min(k_eff, nprobe * cap)),
+                                 nprobe * cap) if rerank else 0)
+                    out = fused_sharded_pq(
+                        embedder.params, embedder.batch_stats,
+                        jnp.asarray(_resize_host(image, s)[None], jnp.float32),
+                        index.bucket_centroids, index.lists,
+                        index.packed_codes, index.pq_books, recon_t, rnorms_t,
+                        index.raw_rows if c_eff else None,
+                        index.raw_norms if c_eff else None, k_eff, c_eff,
+                    )
+                    d, i = jax.device_get(out)
+                    return index._finish(np.array(d), np.array(i), k)
+
+                return search
+
+            if isinstance(index, ShardedIVF):
+                # mesh cell-probe serving, fused: CNN embed + per-shard
+                # fused probed-scan kernel + ICI merge in one program
+                import functools as _ft
+
+                import jax
+                import jax.numpy as jnp
+
+                normalize = index.metric == "cosine"
+                nprobe = index.nprobe
+                pool = index.mesh.shape[index.axis] * nprobe * index.lists.shape[1]
+                mesh_obj, mesh_axis = index.mesh, index.axis
+                embed = _make_embed_fn(embedder, s, normalize)
+
+                @_ft.partial(jax.jit, static_argnames=("k",))
+                def fused_sharded_ivf(params, batch_stats, images, bcents_t,
+                                      packed_t, pnorms_t, lists_t, k):
+                    emb = embed(params, batch_stats, images)
+                    return sharded_ivf_scan(
+                        emb, bcents_t, packed_t, pnorms_t, lists_t,
+                        mesh=mesh_obj, axis=mesh_axis, nprobe=nprobe, k_eff=k,
+                    )
+
+                def search(image: np.ndarray, k: int):
+                    k_eff = min(k, max(1, min(index.n, pool)))
+                    out = fused_sharded_ivf(
+                        embedder.params, embedder.batch_stats,
+                        jnp.asarray(_resize_host(image, s)[None], jnp.float32),
+                        index.bucket_centroids, index.packed,
+                        index.packed_norms, index.lists, k_eff,
+                    )
+                    d, i = jax.device_get(out)
+                    return index._finish(np.array(d), np.array(i), k)
 
                 return search
 

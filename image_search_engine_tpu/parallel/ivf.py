@@ -200,62 +200,151 @@ class ShardedIVF:
             raise ValueError("impl must be pallas or xla")
         q = jnp.asarray(self._prep_query(q))
         nprobe = self.nprobe
-        max_l = self.lists.shape[1]
-        n, axis = self.n, self.axis
-        k_eff = min(k, max(1, min(n, self.mesh.shape[axis] * nprobe * max_l)))
-        kk = min(k_eff, nprobe * max_l)
-
-        def shard_fn(qr, bcents, packed_local, pnorms_local, lists_local):
-            if impl == "pallas":
-                from image_search_engine_tpu.ops.ivf_pallas import ivf_probed_topk
-
-                dloc, ids, ok = ivf_probed_topk(
-                    qr, bcents, packed_local, pnorms_local, lists_local,
-                    kk, nprobe,
-                )
-                dist = jnp.where(ok, dloc, jnp.inf)
-                ids = jnp.where(ok, ids, -1)
-            else:
-                # reference XLA scan over the same packed layout — gathers
-                # the full (Q, nprobe, cap, d) candidate buffer
-                cn = jnp.sum(bcents * bcents, axis=1)
-                cd = cn[None, :] - 2.0 * jnp.dot(
-                    qr, bcents.T, preferred_element_type=jnp.float32)
-                _, probe = jax.lax.top_k(-cd, nprobe)  # (Q, nprobe)
-                cand = lists_local[probe].reshape(qr.shape[0], nprobe * max_l)
-                vecs = packed_local[probe].reshape(
-                    qr.shape[0], nprobe * max_l, -1).astype(jnp.float32)
-                vn = pnorms_local[probe].reshape(qr.shape[0], nprobe * max_l)
-                qn = jnp.sum(qr * qr, axis=1, keepdims=True)
-                cross = jnp.einsum("qd,qcd->qc", qr, vecs,
-                                   preferred_element_type=jnp.float32)
-                # pad slots carry +inf norms -> +inf distance
-                dscan = jnp.maximum(qn - 2.0 * cross + vn, 0.0)
-                dscan = jnp.where(cand >= 0, dscan, jnp.inf)
-                vals, pos = jax.lax.top_k(-dscan, kk)
-                dist = -vals
-                ids = jnp.take_along_axis(cand, pos, axis=1)
-
-            # merge across shards
-            d_all = jax.lax.all_gather(dist, axis)  # (S, Q, kk) distances
-            i_all = jax.lax.all_gather(ids, axis)
-            d_cat = jnp.swapaxes(d_all, 0, 1).reshape(qr.shape[0], -1)
-            i_cat = jnp.swapaxes(i_all, 0, 1).reshape(qr.shape[0], -1)
-            mvals, mpos = jax.lax.top_k(-d_cat, k_eff)
-            mids = jnp.take_along_axis(i_cat, mpos, axis=1)
-            return -mvals, mids
-
-        f = jax.shard_map(
-            shard_fn,
-            mesh=self.mesh,
-            in_specs=(P(), P(axis, None), P(axis, None, None),
-                      P(axis, None), P(axis, None)),
-            out_specs=(P(), P()),
-            check_vma=False,
-        )
-        d, i = jax.device_get(f(q, self.bucket_centroids, self.packed,
-                                self.packed_norms, self.lists))
+        k_eff = min(k, max(1, min(
+            self.n, self.mesh.shape[self.axis] * nprobe * self.lists.shape[1])))
+        d, i = jax.device_get(sharded_ivf_scan(
+            q, self.bucket_centroids, self.packed, self.packed_norms,
+            self.lists, mesh=self.mesh, axis=self.axis, nprobe=nprobe,
+            k_eff=k_eff, impl=impl,
+        ))
         return self._finish(np.array(d), np.array(i), k)
+
+
+def sharded_ivf_scan(q, bcents, packed, pnorms, lists, *, mesh: Mesh,
+                     axis: str, nprobe: int, k_eff: int,
+                     impl: str = "pallas"):
+    """Traceable sharded probed scan + ICI merge.
+
+    q (Q, d) replicated; bcents/packed/pnorms/lists sharded as laid out
+    by ``ShardedIVF.from_components``. Returns (dist (Q, k_eff), ids)
+    replicated device arrays, invalid slots (+inf, -1). shard_map
+    composes under jit, so callers can fuse upstream compute into the
+    same program — the engine fuses the CNN embed in front of this
+    (single host transfer per sharded query)."""
+    max_l = lists.shape[1]
+    kk = min(k_eff, nprobe * max_l)
+
+    def shard_fn(qr, bcents_l, packed_local, pnorms_local, lists_local):
+        if impl == "pallas":
+            from image_search_engine_tpu.ops.ivf_pallas import ivf_probed_topk
+
+            dloc, ids, ok = ivf_probed_topk(
+                qr, bcents_l, packed_local, pnorms_local, lists_local,
+                kk, nprobe,
+            )
+            dist = jnp.where(ok, dloc, jnp.inf)
+            ids = jnp.where(ok, ids, -1)
+        else:
+            # reference XLA scan over the same packed layout — gathers
+            # the full (Q, nprobe, cap, d) candidate buffer
+            cn = jnp.sum(bcents_l * bcents_l, axis=1)
+            cd = cn[None, :] - 2.0 * jnp.dot(
+                qr, bcents_l.T, preferred_element_type=jnp.float32)
+            _, probe = jax.lax.top_k(-cd, nprobe)  # (Q, nprobe)
+            cand = lists_local[probe].reshape(qr.shape[0], nprobe * max_l)
+            vecs = packed_local[probe].reshape(
+                qr.shape[0], nprobe * max_l, -1).astype(jnp.float32)
+            vn = pnorms_local[probe].reshape(qr.shape[0], nprobe * max_l)
+            qn = jnp.sum(qr * qr, axis=1, keepdims=True)
+            cross = jnp.einsum("qd,qcd->qc", qr, vecs,
+                               preferred_element_type=jnp.float32)
+            # pad slots carry +inf norms -> +inf distance
+            dscan = jnp.maximum(qn - 2.0 * cross + vn, 0.0)
+            dscan = jnp.where(cand >= 0, dscan, jnp.inf)
+            vals, pos = jax.lax.top_k(-dscan, kk)
+            dist = -vals
+            ids = jnp.take_along_axis(cand, pos, axis=1)
+
+        # merge across shards
+        d_all = jax.lax.all_gather(dist, axis)  # (S, Q, kk) distances
+        i_all = jax.lax.all_gather(ids, axis)
+        d_cat = jnp.swapaxes(d_all, 0, 1).reshape(qr.shape[0], -1)
+        i_cat = jnp.swapaxes(i_all, 0, 1).reshape(qr.shape[0], -1)
+        mvals, mpos = jax.lax.top_k(-d_cat, k_eff)
+        mids = jnp.take_along_axis(i_cat, mpos, axis=1)
+        return -mvals, mids
+
+    f = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(axis, None), P(axis, None, None),
+                  P(axis, None), P(axis, None)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return f(q, bcents, packed, pnorms, lists)
+
+
+def sharded_pq_recon_scan(q, bcents, lists, pcodes, books, *, mesh: Mesh,
+                          axis: str, nprobe: int, m: int,
+                          rows_per_shard: int, k_eff: int, c_eff: int = 0,
+                          raw_rows=None, raw_norms=None,
+                          recon=None, rnorms=None):
+    """Traceable sharded PQ search: per-shard bf16 reconstruction table
+    scanned by the fused probed-scan kernel, optional shard-local exact
+    rerank (c_eff > 0, needs row-major raw_rows/raw_norms), ICI merge.
+
+    Pass prebuilt ``recon``/``rnorms`` (from
+    ``ShardedIVFPQ.build_recon_tables``) to skip the per-dispatch code
+    decompression — the serving mode; otherwise each shard reconstructs
+    its table inside the program and resting memory stays codes-only.
+    Returns (dist (Q, k_eff), ids) replicated device arrays. shard_map
+    composes under jit — the engine fuses the CNN embed in front."""
+    from image_search_engine_tpu.index.ivf import _pq_reconstruct_table
+    from image_search_engine_tpu.ops.ivf_pallas import ivf_probed_topk
+
+    cap = lists.shape[1]
+    kk = min(k_eff, nprobe * cap)
+    prebuilt = recon is not None
+
+    def shard_fn(qr, bcents_l, lists_local, pcodes_local, books_l,
+                 *rest):
+        it = iter(rest)
+        if prebuilt:
+            recon_l, rnorms_l = next(it), next(it)
+        else:
+            recon_l, rnorms_l = _pq_reconstruct_table(
+                pcodes_local, books_l, bcents_l, lists_local >= 0, m)
+        dloc, ids, ok = ivf_probed_topk(
+            qr, bcents_l, recon_l, rnorms_l, lists_local,
+            c_eff if c_eff else kk, nprobe,
+        )
+        if c_eff:
+            # shard-local exact refine over the kernel's ADC shortlist
+            # (ids are GLOBAL; this shard's raw rows are addressed by
+            # id - shard base)
+            raw_local, rnorm_local = next(it), next(it)
+            ids = jnp.where(ok, ids, -1)
+            dist = _local_exact_rerank(qr, ids, raw_local, rnorm_local,
+                                       axis, rows_per_shard)
+        else:
+            dist = jnp.where(ok, dloc, jnp.inf)
+            ids = jnp.where(ok, ids, -1)
+
+        kk2 = min(k_eff, dist.shape[1])
+        vals, pos = jax.lax.top_k(-dist, kk2)
+        out_ids = jnp.take_along_axis(ids, pos, axis=1)
+        d_all = jax.lax.all_gather(-vals, axis)
+        i_all = jax.lax.all_gather(out_ids, axis)
+        d_cat = jnp.swapaxes(d_all, 0, 1).reshape(qr.shape[0], -1)
+        i_cat = jnp.swapaxes(i_all, 0, 1).reshape(qr.shape[0], -1)
+        mvals, mpos = jax.lax.top_k(-d_cat, k_eff)
+        mids = jnp.take_along_axis(i_cat, mpos, axis=1)
+        return -mvals, mids
+
+    in_specs = [P(), P(axis, None), P(axis, None), P(axis, None, None), P()]
+    args = [q, bcents, lists, pcodes, books]
+    if prebuilt:
+        in_specs += [P(axis, None, None), P(axis, None)]
+        args += [recon, rnorms]
+    if c_eff:
+        in_specs += [P(axis, None), P(axis)]
+        args += [raw_rows, raw_norms]
+    f = jax.shard_map(
+        shard_fn, mesh=mesh, in_specs=tuple(in_specs),
+        out_specs=(P(), P()), check_vma=False,
+    )
+    return f(*args)
 
 
 def _local_exact_rerank(qr, cand, raw_local, rnorm_local, axis: str, r: int):
@@ -436,62 +525,46 @@ class ShardedIVFPQ(ShardedIVF):
                 "rerank needs raw vectors on the mesh; rebuild with "
                 "from_codes(raw=...) or an artifact saved store_raw=True"
             )
-        from image_search_engine_tpu.index.ivf import _pq_reconstruct_table
-        from image_search_engine_tpu.ops.ivf_pallas import ivf_probed_topk
-
         q = jnp.asarray(self._prep_query(q))
         nprobe = self.nprobe
         cap = self.lists.shape[1]
-        axis = self.axis
-        m = self.m
-        r = self.rows_per_shard
-        k_eff = min(k, max(1, min(self.n, self.mesh.shape[axis] * nprobe * cap)))
-        kk = min(k_eff, nprobe * cap)
-        c_eff = min(max(int(rerank), kk), nprobe * cap) if rerank else 0
-
-        def shard_fn(qr, bcents, lists_local, pcodes_local, books,
-                     raw_local=None, rnorm_local=None):
-            valid = lists_local >= 0
-            recon, rnorms = _pq_reconstruct_table(
-                pcodes_local, books, bcents, valid, m)
-            dloc, ids, ok = ivf_probed_topk(
-                qr, bcents, recon, rnorms, lists_local,
-                c_eff if c_eff else kk, nprobe,
-            )
-            if c_eff:
-                # shard-local exact refine over the kernel's ADC shortlist
-                # (ids are GLOBAL; this shard's raw rows are addressed by
-                # id - base)
-                ids = jnp.where(ok, ids, -1)
-                dist = _local_exact_rerank(qr, ids, raw_local, rnorm_local,
-                                           axis, r)
-            else:
-                dist = jnp.where(ok, dloc, jnp.inf)
-                ids = jnp.where(ok, ids, -1)
-
-            kk2 = min(k_eff, dist.shape[1])
-            vals, pos = jax.lax.top_k(-dist, kk2)
-            out_ids = jnp.take_along_axis(ids, pos, axis=1)
-            d_all = jax.lax.all_gather(-vals, axis)
-            i_all = jax.lax.all_gather(out_ids, axis)
-            d_cat = jnp.swapaxes(d_all, 0, 1).reshape(qr.shape[0], -1)
-            i_cat = jnp.swapaxes(i_all, 0, 1).reshape(qr.shape[0], -1)
-            mvals, mpos = jax.lax.top_k(-d_cat, k_eff)
-            mids = jnp.take_along_axis(i_cat, mpos, axis=1)
-            return -mvals, mids
-
-        in_specs = [P(), P(axis, None), P(axis, None), P(axis, None, None), P()]
-        args = [q, self.bucket_centroids, self.lists, self.packed_codes,
-                self.pq_books]
-        if c_eff:
-            in_specs += [P(axis, None), P(axis)]
-            args += [self.raw_rows, self.raw_norms]
-        f = jax.shard_map(
-            shard_fn, mesh=self.mesh, in_specs=tuple(in_specs),
-            out_specs=(P(), P()), check_vma=False,
-        )
-        dd, ii = jax.device_get(f(*args))
+        k_eff = min(k, max(1, min(self.n,
+                                  self.mesh.shape[self.axis] * nprobe * cap)))
+        c_eff = (min(max(int(rerank), min(k_eff, nprobe * cap)), nprobe * cap)
+                 if rerank else 0)
+        dd, ii = jax.device_get(sharded_pq_recon_scan(
+            q, self.bucket_centroids, self.lists, self.packed_codes,
+            self.pq_books,
+            raw_rows=self.raw_rows if c_eff else None,
+            raw_norms=self.raw_norms if c_eff else None,
+            mesh=self.mesh, axis=self.axis, nprobe=nprobe, m=self.m,
+            rows_per_shard=self.rows_per_shard, k_eff=k_eff, c_eff=c_eff,
+        ))
         return self._finish(np.array(dd), np.array(ii), k)
+
+    def build_recon_tables(self):
+        """Per-shard bf16 reconstruction tables + norms as SHARDED device
+        arrays (one shard_map program) — the mesh analog of the
+        single-chip ``recon_cache``: build once at serving startup, then
+        pass to ``sharded_pq_recon_scan(recon=..., rnorms=...)`` so each
+        dispatch skips the ~N*m one-hot decompression. Costs N*d*2 bytes
+        across the mesh while resident; the artifact stays codes-only."""
+        from image_search_engine_tpu.index.ivf import _pq_reconstruct_table
+
+        m, axis = self.m, self.axis
+
+        def fn(pcodes_local, bcents_l, lists_local, books):
+            return _pq_reconstruct_table(
+                pcodes_local, books, bcents_l, lists_local >= 0, m)
+
+        f = jax.shard_map(
+            fn, mesh=self.mesh,
+            in_specs=(P(axis, None, None), P(axis, None), P(axis, None), P()),
+            out_specs=(P(axis, None, None), P(axis, None)),
+            check_vma=False,
+        )
+        return f(self.packed_codes, self.bucket_centroids, self.lists,
+                 self.pq_books)
 
     def search(self, q: np.ndarray, k: int,
                rerank: Optional[int] = None) -> Tuple[np.ndarray, np.ndarray]:

@@ -258,6 +258,28 @@ def test_micro_batched_engine_concurrent_queries(corpus_dir):
         assert pred[0][0] < 0.05
 
 
+def test_sharded_engine_flat_fused(corpus_dir):
+    # engine + mesh + flat index: embed AND the shard_map'd distributed
+    # top-k run in ONE jitted program (one host transfer per query), the
+    # same structure as unsharded fused serving
+    from image_search_engine_tpu.index.flat import FlatIndex
+    from image_search_engine_tpu.parallel.mesh import make_mesh
+    from image_search_engine_tpu.utils.imageio import load_image
+
+    mesh = make_mesh(8)
+    cfg = _cfg(corpus_dir, method=Method.DNN, dnn_model=DnnModel.RESNET_TINY,
+               index_type=IndexType.L2, store_dtype="bf16")
+    indexer_main(cfg)
+    engine = QueryEngine(cfg, mesh=mesh)
+    assert isinstance(engine.index, FlatIndex)
+    assert engine.index.mesh is not None
+
+    img = load_image(engine.paths[0])
+    pred = engine.query(img, k=3)
+    assert pred[0][2] == engine.paths[0]
+    assert pred[0][0] < 0.05
+
+
 def test_sharded_engine_cell_probe(corpus_dir):
     # engine + mesh + cell-probe: serving through ShardedIVF
     from image_search_engine_tpu.parallel.mesh import make_mesh
@@ -276,7 +298,7 @@ def test_sharded_engine_cell_probe(corpus_dir):
     from image_search_engine_tpu.parallel.ivf import ShardedIVF
 
     assert isinstance(engine.index, ShardedIVF)
-    assert engine.index.rows.dtype == jnp.bfloat16
+    assert engine.index.packed.dtype == jnp.bfloat16
 
     img = load_image(engine.paths[0])
     pred = engine.query(img, k=3)
@@ -319,7 +341,7 @@ def test_sharded_engine_ivfpq_rerank_survives_mesh(corpus_dir):
     indexer_main(cfg)
     engine = QueryEngine(cfg, mesh=mesh)
     assert isinstance(engine.index, ShardedIVFPQ)
-    assert engine.index.rerank == 8 and engine.index.packed_raw is not None
+    assert engine.index.rerank == 8 and engine.index.raw_rows is not None
 
     img = load_image(engine.paths[0])
     pred = engine.query(img, k=3)
