@@ -129,7 +129,10 @@ class Config:
     # --- serving ------------------------------------------------------------
     host: str = "127.0.0.1"
     port: int = 5000
-    micro_batch: bool = False  # batch concurrent queries (serving/batching.py)
+    # batch concurrent queries (serving/batching.py): False/"off", True/"on",
+    # or "auto" (measure at prewarm whether coalescing beats pipelined
+    # independent dispatches on this topology and decide from the numbers)
+    micro_batch: object = False
     micro_batch_max: int = 8
     micro_batch_wait_ms: float = 3.0
     precompute_thumbnails: bool = True  # pack result thumbnails at index time
@@ -149,6 +152,18 @@ class Config:
     def __post_init__(self) -> None:
         self.data_dir = Path(self.data_dir)
         self.artifacts_dir = Path(self.artifacts_dir)
+        if self.micro_batch_mode() not in ("off", "on", "auto"):
+            raise ValueError(
+                f"micro_batch must be a bool or 'off'/'on'/'auto', "
+                f"got {self.micro_batch!r}"
+            )
+
+    def micro_batch_mode(self) -> str:
+        """Normalized micro-batch mode ('off' | 'on' | 'auto'); bools are
+        accepted for back-compat with the round-2 flag."""
+        if isinstance(self.micro_batch, bool):
+            return "on" if self.micro_batch else "off"
+        return str(self.micro_batch)
 
     # Artifact locations (reference config.py:76,87,89 equivalents).
     @property

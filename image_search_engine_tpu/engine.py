@@ -158,6 +158,37 @@ class QueryEngine:
         except Exception as e:  # noqa: BLE001
             log.warning("prewarm compiled in %.1fs but the warm timing "
                         "dispatch failed (serving continues): %s", t1 - t0, e)
+        self._calibrate_micro_batch(k_warm)
+
+    def _calibrate_micro_batch(self, k_warm: int) -> None:
+        """``--micro-batch auto``: both serving programs are warm after
+        prewarm, so measure pipelined independent dispatches vs one padded
+        batch and route queries by the numbers instead of a guess (the
+        guess is topology-dependent — BENCH_NOTES 'Serving-layer
+        scaling')."""
+        calib = getattr(self, "_mb_calibrate", None)
+        if calib is None:
+            return
+        from image_search_engine_tpu.serving.batching import (
+            measure_micro_batch_gain, micro_batch_pays)
+
+        try:
+            threaded_ms, batched_ms = measure_micro_batch_gain(
+                calib["batched_search"], calib["image_shape"], k_warm,
+                self.cfg.micro_batch_max,
+            )
+        except Exception as e:  # noqa: BLE001 — calibration must not block serving
+            log.warning("micro-batch calibration failed; serving "
+                        "per-request (batching OFF): %s", e)
+            return
+        self._use_batcher = micro_batch_pays(threaded_ms, batched_ms)
+        log.info(
+            "micro-batch auto-calibration: %.1f ms/query pipelined "
+            "independent dispatches vs %.1f ms/query coalesced (B=%d) "
+            "-> batching %s",
+            threaded_ms, batched_ms, self.cfg.micro_batch_max,
+            "ON" if self._use_batcher else "OFF",
+        )
 
     def _build(self, cfg: Config, mesh) -> Callable[[np.ndarray, int], Tuple[np.ndarray, np.ndarray]]:
         if cfg.method == Method.DNN:
@@ -249,21 +280,36 @@ class QueryEngine:
                         i = np.pad(i, ((0, 0), (0, k - i.shape[1])), constant_values=-1)
                     return d, i
 
-                if cfg.micro_batch:
+                mb_mode = cfg.micro_batch_mode()
+                if mb_mode != "off":
                     # collect concurrent uploads into one padded device batch
-                    log.warning(
-                        "--micro-batch measured STRICTLY WORSE at every "
-                        "concurrency on remote-tunnel topologies (independent "
-                        "dispatches already pipeline through the device "
-                        "stream; BENCH_NOTES 'Serving-layer scaling') — it "
-                        "only pays where per-dispatch overhead dominates "
-                        "device time; re-measure on your hardware")
                     from image_search_engine_tpu.serving.batching import MicroBatcher
 
+                    if mb_mode == "on":
+                        log.warning(
+                            "--micro-batch measured STRICTLY WORSE at every "
+                            "concurrency on remote-tunnel topologies "
+                            "(independent dispatches already pipeline through "
+                            "the device stream; BENCH_NOTES 'Serving-layer "
+                            "scaling') — it only pays where per-dispatch "
+                            "overhead dominates device time; use "
+                            "--micro-batch auto to measure on your hardware")
                     self._batcher = MicroBatcher(
                         batched_search, max_batch=cfg.micro_batch_max,
                         max_wait_ms=cfg.micro_batch_wait_ms,
                     )
+                    # "on": trust the flag. "auto": serve per-request until
+                    # prewarm's calibration measures that coalescing beats
+                    # pipelined independent dispatches HERE (prewarm is where
+                    # both programs are warm, so the timing is honest); with
+                    # --no-prewarm there is nothing to measure against, so
+                    # auto stays off.
+                    self._use_batcher = mb_mode == "on"
+                    if mb_mode == "auto":
+                        self._mb_calibrate = dict(
+                            batched_search=batched_search,
+                            image_shape=(s, s, 3),
+                        )
                     # warm BOTH programs (B=1 and B=max) at startup — the
                     # first concurrent burst must not hit a cold compile
                     self._extra_prewarm = lambda k: batched_search(
@@ -271,7 +317,9 @@ class QueryEngine:
                     )
 
                     def search(image: np.ndarray, k: int):
-                        return self._batcher.search(_resize_host(image, s), k)
+                        if self._use_batcher:
+                            return self._batcher.search(_resize_host(image, s), k)
+                        return batched_search(_resize_host(image, s)[None], k)
 
                     return search
 
@@ -843,7 +891,16 @@ def make_handler(engine: QueryEngine):
                 self._json(200, {"status": "ok", "corpus": len(engine.paths)})
                 return
             if self.path == "/stats":
-                self._json(200, engine.stats.snapshot())
+                snap = engine.stats.snapshot()
+                mb = engine.cfg.micro_batch_mode()
+                if mb != "off":
+                    # surface the (possibly auto-calibrated) routing so an
+                    # operator can see which path requests actually take
+                    snap["micro_batch"] = {
+                        "mode": mb,
+                        "active": bool(getattr(engine, "_use_batcher", False)),
+                    }
+                self._json(200, snap)
                 return
             if self.path not in ("/", "/index.html"):
                 self._json(404, {"error": "unknown endpoint"})
@@ -921,8 +978,13 @@ def parse_args(argv=None) -> Config:
     ap.add_argument("--torch-weights", type=Path, default=None,
                     help="torchvision ResNet/DenseNet .pth to import as the "
                          "backbone (must match the indexer's)")
-    ap.add_argument("--micro-batch", action="store_true",
-                    help="batch concurrent queries into one device call")
+    ap.add_argument("--micro-batch", nargs="?", const="on", default="off",
+                    choices=["off", "on", "auto"],
+                    help="batch concurrent queries into one device call; "
+                         "'auto' measures at prewarm whether coalescing "
+                         "beats pipelined independent dispatches on this "
+                         "host and decides from the numbers (bare "
+                         "--micro-batch = 'on')")
     ap.add_argument("--no-prewarm", action="store_true",
                     help="skip the startup compile of the serving path "
                          "(use when the persistent compilation cache is "

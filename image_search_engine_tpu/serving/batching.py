@@ -27,6 +27,69 @@ def pad_to_ladder(n: int, max_batch: int) -> int:
     return 1 if n <= 1 else max_batch
 
 
+def measure_micro_batch_gain(
+    batched_search: Callable[[np.ndarray, int], Tuple[np.ndarray, np.ndarray]],
+    image_shape: Tuple[int, ...],
+    k: int,
+    max_batch: int,
+    reps: int = 3,
+) -> Tuple[float, float]:
+    """Measure whether coalescing pays ON THIS TOPOLOGY.
+
+    Micro-batching trades per-dispatch overhead (amortized over B riders)
+    against a collect wait — but independent dispatches already pipeline
+    through the device stream, so on remote-tunnel topologies it measured
+    STRICTLY WORSE at every concurrency (BENCH_NOTES "Serving-layer
+    scaling, in-process"). Whether it pays is a property of the serving
+    host's dispatch overhead, not of this code, so ``--micro-batch auto``
+    measures instead of guessing: run ``max_batch`` independent B=1
+    searches from ``max_batch`` threads (the no-batcher serving shape)
+    vs one padded B=``max_batch`` dispatch, both warm.
+
+    Returns ``(threaded_ms_per_query, batched_ms_per_query)`` using the
+    best of ``reps`` runs for each side (min filters scheduler noise;
+    both sides get the same treatment).
+    """
+    import time
+
+    img1 = np.zeros((1, *image_shape), np.float32)
+    imgb = np.zeros((max_batch, *image_shape), np.float32)
+    # warm both programs so neither side's timing includes a compile
+    batched_search(img1, k)
+    batched_search(imgb, k)
+
+    threaded: List[float] = []
+    for _ in range(reps):
+        threads = [
+            threading.Thread(target=batched_search, args=(img1, k))
+            for _ in range(max_batch)
+        ]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        threaded.append((time.perf_counter() - t0) / max_batch * 1e3)
+
+    batched: List[float] = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        batched_search(imgb, k)
+        batched.append((time.perf_counter() - t0) / max_batch * 1e3)
+
+    return min(threaded), min(batched)
+
+
+def micro_batch_pays(
+    threaded_ms: float, batched_ms: float, margin: float = 0.9
+) -> bool:
+    """Decision rule for ``--micro-batch auto``: coalescing must beat the
+    pipelined independent-dispatch baseline by >10% per query to justify
+    the batcher's collect wait (``max_wait_ms`` of added latency under
+    low load) — a tie goes to the simpler per-request path."""
+    return batched_ms < threaded_ms * margin
+
+
 @dataclass
 class _Pending:
     image: np.ndarray

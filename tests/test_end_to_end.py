@@ -258,6 +258,41 @@ def test_micro_batched_engine_concurrent_queries(corpus_dir):
         assert pred[0][0] < 0.05
 
 
+def test_micro_batch_auto_calibrates_at_prewarm(corpus_dir, monkeypatch):
+    # --micro-batch auto routes by MEASUREMENT: prewarm times pipelined
+    # independent dispatches vs one coalesced batch and flips the batcher
+    # only when coalescing wins (>10%). Both decisions must serve
+    # correctly — the fused program underneath is identical.
+    from image_search_engine_tpu.serving import batching
+    from image_search_engine_tpu.utils.imageio import load_image
+
+    cfg = _cfg(corpus_dir, method=Method.DNN, dnn_model=DnnModel.RESNET_TINY,
+               micro_batch="auto", micro_batch_wait_ms=20.0)
+    indexer_main(cfg)
+
+    seen = {}
+
+    def pays_5x(batched_search, image_shape, k, max_batch, reps=3):
+        seen["args"] = (image_shape, k, max_batch)
+        # drive the real program once so a broken fused path still fails here
+        batched_search(np.zeros((1, *image_shape), np.float32), k)
+        return 10.0, 2.0
+
+    monkeypatch.setattr(batching, "measure_micro_batch_gain", pays_5x)
+    engine = QueryEngine(cfg)
+    assert engine._use_batcher is True
+    assert seen["args"] == ((32, 32, 3), 5, cfg.micro_batch_max)
+    pred = engine.query(load_image(engine.paths[0]), k=3)
+    assert pred[0][2] == engine.paths[0]
+
+    monkeypatch.setattr(
+        batching, "measure_micro_batch_gain", lambda *a, **kw: (5.0, 5.0))
+    engine2 = QueryEngine(cfg)
+    assert engine2._use_batcher is False  # tie -> simpler per-request path
+    pred = engine2.query(load_image(engine2.paths[1]), k=3)
+    assert pred[0][2] == engine2.paths[1]
+
+
 def test_sharded_engine_flat_fused(corpus_dir):
     # engine + mesh + flat index: embed AND the shard_map'd distributed
     # top-k run in ONE jitted program (one host transfer per query), the

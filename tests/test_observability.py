@@ -180,3 +180,50 @@ def test_micro_batcher_propagates_errors(rng):
     with _pytest.raises(RuntimeError, match="boom"):
         mb.search(rng.random((4, 4, 3)).astype(np.float32), k=2)
     mb.close()
+
+
+def test_micro_batch_calibration_detects_overhead_bound_host():
+    # Simulate a host whose dispatches SERIALIZE (a lock) with a large
+    # fixed per-dispatch overhead — the one regime where coalescing pays
+    # (BENCH_NOTES "Serving-layer scaling"): threaded B=1 calls each pay
+    # the overhead; one padded batch pays it once.
+    import threading
+    import time as _time
+
+    from image_search_engine_tpu.serving.batching import (
+        measure_micro_batch_gain, micro_batch_pays)
+
+    lock = threading.Lock()
+    fixed_s, per_row_s = 0.030, 0.001
+
+    def batched_search(images, k):
+        with lock:
+            _time.sleep(fixed_s + per_row_s * images.shape[0])
+        b = images.shape[0]
+        return np.zeros((b, k)), np.zeros((b, k), np.int32)
+
+    threaded_ms, batched_ms = measure_micro_batch_gain(
+        batched_search, image_shape=(4, 4, 3), k=3, max_batch=4, reps=2)
+    # threaded ~ fixed + per_row = 31 ms/q; batched ~ (30 + 4)/4 = 8.5 ms/q
+    assert batched_ms < threaded_ms
+    assert micro_batch_pays(threaded_ms, batched_ms)
+
+
+def test_micro_batch_pays_decision_rule():
+    from image_search_engine_tpu.serving.batching import micro_batch_pays
+
+    assert micro_batch_pays(10.0, 5.0)
+    assert not micro_batch_pays(10.0, 9.5)  # <10% win: tie goes to simpler
+    assert not micro_batch_pays(5.0, 10.0)
+
+
+def test_config_micro_batch_mode_normalization():
+    import pytest as _pytest
+
+    from image_search_engine_tpu.config import Config
+
+    assert Config().micro_batch_mode() == "off"
+    assert Config(micro_batch=True).micro_batch_mode() == "on"
+    assert Config(micro_batch="auto").micro_batch_mode() == "auto"
+    with _pytest.raises(ValueError, match="micro_batch"):
+        Config(micro_batch="bogus")
