@@ -14,7 +14,9 @@ Differences from the reference, by design:
     reference's is broken — uses ``image_features`` before assignment,
     engine.py:83);
   * query embedding + search is one batched jitted path, reused across
-    requests (no per-request compilation).
+    requests (no per-request compilation). Every index family serves
+    through ONE fused program built by serving/fused.py — feature
+    prologue + search core jitted together, one host transfer per query.
 
 Also serves GET / with the packaged upload UI (frontend/index.html — the
 same file works standalone over file://) and GET /healthz.
@@ -47,7 +49,6 @@ Prediction = List[Tuple[float, str, str]]  # (distance, b64 thumb, path)
 # --------------------------------------------------------------------------
 
 
-
 def _resize_host(image: np.ndarray, size: int) -> np.ndarray:
     """Host-side PIL resize to the index-build resolution.
 
@@ -64,43 +65,6 @@ def _resize_host(image: np.ndarray, size: int) -> np.ndarray:
     return np.asarray(im, np.float32) / 255.0
 
 
-def _make_embed_fn(embedder, size: int, normalize: bool):
-    """Shared embed prologue for the fused serving programs — flat, IVF
-    and IVFPQ all jit the same preprocess -> backbone -> optional
-    l2-normalize chain; one definition keeps the three paths from
-    silently diverging. The returned fn is traced INSIDE each caller's
-    jit (params/batch_stats/images are its arguments, never closures)."""
-    from image_search_engine_tpu.ops.distances import l2_normalize
-    from image_search_engine_tpu.ops.image_ops import preprocess_for_cnn
-
-    model = embedder.model
-    norm_name = embedder.norm_name
-
-    def embed(params, batch_stats, images):
-        x = preprocess_for_cnn(images, size, norm=norm_name)
-        variables = {"params": params}
-        if batch_stats is not None:
-            variables["batch_stats"] = batch_stats
-        emb = model.apply(variables, x, train=False)
-        if normalize:
-            emb = l2_normalize(emb)
-        return emb
-
-    return embed
-
-
-def _fused_finish(index, out, k: int):
-    """Shared IVF/IVFPQ fused-path epilogue: ONE host transfer covering
-    (d, i, ok), invalid slots to -1, then the index's Faiss-shaped
-    finish (sort stability / k padding)."""
-    import jax
-
-    d, i, ok = jax.device_get(out)  # one host transfer
-    d, i, ok = np.array(d), np.array(i), np.array(ok)
-    i[~ok] = -1
-    return index._finish(d, i, k)
-
-
 class QueryEngine:
     """Image -> ranked (distance, path) results for one configured method."""
 
@@ -112,6 +76,16 @@ class QueryEngine:
         self.stats = ServingStats()
         self.index = None  # set by index-backed methods (dnn/bovw)
         self.thumbs = None
+        # serving-wrapper state (serving/fused.wrap_serving fills these in
+        # when --micro-batch is active)
+        self._use_batcher = False
+        self._batcher = None
+        self._extra_prewarm = None
+        self._mb_calibrate = None
+        # rows the loaded index actually holds — can be SMALLER than the
+        # path list after per-image error-skips, so prewarm derives its
+        # k from this, not from len(paths)
+        self._index_n = max(1, len(self.paths))
         if cfg.thumbnails_path.exists():
             from image_search_engine_tpu.utils.imageio import ThumbnailCache
 
@@ -135,10 +109,12 @@ class QueryEngine:
         dummy = np.zeros((self.cfg.resize_size, self.cfg.resize_size, 3), np.float32)
         try:
             # use the real default k so the compiled program matches the
-            # first actual request (a different k is a different program)
-            k_warm = min(self.cfg.num_images_to_return, max(1, len(self.paths)))
+            # first actual request (a different k is a different program);
+            # clamp by the index's own row count, which can be smaller
+            # than the path list after indexing error-skips
+            k_warm = min(self.cfg.num_images_to_return, self._index_n)
             self._search(dummy, k_warm)
-            if getattr(self, "_extra_prewarm", None) is not None:
+            if self._extra_prewarm is not None:
                 self._extra_prewarm(k_warm)
         except Exception as e:  # noqa: BLE001 — prewarm failing must not block serving
             log.warning("prewarm failed (serving continues, first query compiles): %s", e)
@@ -166,7 +142,7 @@ class QueryEngine:
         batch and route queries by the numbers instead of a guess (the
         guess is topology-dependent — BENCH_NOTES 'Serving-layer
         scaling')."""
-        calib = getattr(self, "_mb_calibrate", None)
+        calib = self._mb_calibrate
         if calib is None:
             return
         from image_search_engine_tpu.serving.batching import (
@@ -190,9 +166,37 @@ class QueryEngine:
             "ON" if self._use_batcher else "OFF",
         )
 
+    def _dnn_family(self, index):
+        """Pick the fused serving family for a DNN index: (program name,
+        (core, core_args, statics_fn, epilogue)) from serving/fused.py,
+        or None for the generic staged fallback (chi2 flat — elementwise
+        metric, no fused kernel)."""
+        from image_search_engine_tpu.index.flat import FlatIndex
+        from image_search_engine_tpu.index.ivf import IVFIndex, IVFPQIndex
+        from image_search_engine_tpu.parallel.ivf import ShardedIVF, ShardedIVFPQ
+        from image_search_engine_tpu.serving import fused as fused_serving
+
+        if isinstance(index, FlatIndex) and index.metric != "chi2":
+            self._index_n = max(1, index.store.n)
+            return "fused", fused_serving.flat_family(index, stats=self.stats)
+        if isinstance(index, ShardedIVFPQ):  # subclass of ShardedIVF: first
+            self._index_n = max(1, index.n)
+            return "fused_sharded_pq", fused_serving.sharded_ivfpq_family(index)
+        if isinstance(index, ShardedIVF):
+            self._index_n = max(1, index.n)
+            return "fused_sharded_ivf", fused_serving.sharded_ivf_family(index)
+        if type(index) is IVFPQIndex:
+            self._index_n = max(1, index.ntotal)
+            return "fused_pq", fused_serving.ivfpq_family(index)
+        if type(index) is IVFIndex:
+            self._index_n = max(1, index.ntotal)
+            return "fused_ivf", fused_serving.ivf_family(index)
+        return None
+
     def _build(self, cfg: Config, mesh) -> Callable[[np.ndarray, int], Tuple[np.ndarray, np.ndarray]]:
+        from image_search_engine_tpu.serving import fused as fused_serving
+
         if cfg.method == Method.DNN:
-            from image_search_engine_tpu.index.flat import FlatIndex
             from image_search_engine_tpu.models.embedder import CNNEmbedder
 
             # mesh shards the INDEX; single-query embeds can't split over a
@@ -209,335 +213,31 @@ class QueryEngine:
             self.index = index
             s = cfg.resize_size
 
-            if isinstance(index, FlatIndex) and index.metric != "chi2":
-                # fuse embed + search into ONE jitted program: embeddings
-                # never round-trip to host between the backbone and the
-                # index scan (each host hop costs a full RTT). On a mesh
-                # the search step is the shard_map'd distributed top-k
-                # (per-shard scan + ICI all_gather merge) INSIDE the same
-                # program — shard_map composes under jit, so sharded
-                # serving keeps the one-transfer-per-query structure too.
-                import functools as _ft
+            family = self._dnn_family(index)
+            if family is not None:
+                # ONE fused jitted program: embeddings never round-trip to
+                # host between the backbone and the index scan (each hop
+                # costs a full RTT; measured 1.6-3.3x across families —
+                # BENCH_NOTES "Fused raw-IVF serving" etc.). On a mesh the
+                # shard_map'd scan + ICI merge runs INSIDE the same
+                # program (shard_map composes under jit). Index-sized
+                # arrays ride as jit ARGUMENTS (closure-bake rule, guarded
+                # by test_fused_programs_close_over_no_arrays).
+                name, parts = family
+                prologue = fused_serving.cnn_prologue(
+                    embedder, s, normalize=index.metric == "cosine")
+                batched = fused_serving.make_batched_search(
+                    name, prologue, (embedder.params, embedder.batch_stats),
+                    *parts)
+                return fused_serving.wrap_serving(self, batched, s, cfg)
 
-                import jax
-                import jax.numpy as jnp
-
-                from image_search_engine_tpu.parallel.topk import (
-                    distributed_topk, local_topk_with_norms)
-
-                search_metric = "ip" if index.metric in ("ip", "cosine") else index.metric
-                normalize = index.metric == "cosine"
-                store_v, store_n = index.store.vectors, index.store.norms
-                store_s = index.store.scales
-                n_valid = index.store.n
-                mesh_obj, mesh_axis = index.mesh, index.axis
-                embed = _make_embed_fn(embedder, s, normalize)
-
-                @_ft.partial(jax.jit, static_argnames=("k", "t_margin"))
-                def fused(params, batch_stats, images, store, norms, scales, k,
-                          t_margin=None):
-                    emb = embed(params, batch_stats, images)
-                    # the exactness certificate rides along in the same
-                    # device->host transfer as the results (host-side
-                    # escalation: data-dependent control flow can't live
-                    # inside the jitted program)
-                    if mesh_obj is not None:
-                        return distributed_topk(
-                            emb, store, norms, k, search_metric, mesh_obj,
-                            mesh_axis, scales_sharded=scales,
-                            with_certificate=True, t_margin=t_margin,
-                        )
-                    return local_topk_with_norms(
-                        emb, store, norms, k, search_metric,
-                        use_pallas=jax.default_backend() == "tpu",
-                        scales=scales, with_certificate=True,
-                        t_margin=t_margin,
-                    )
-
-                def batched_search(images: np.ndarray, k: int):
-                    k_eff = min(k, n_valid)
-                    out = fused(
-                        embedder.params, embedder.batch_stats,
-                        jnp.asarray(images, jnp.float32), store_v, store_n,
-                        store_s, k_eff,
-                    )
-                    d, i, cert = jax.device_get(out)  # one host transfer
-                    if not np.asarray(cert).all():
-                        log.warning(
-                            "top-k certificate failed for %d queries; "
-                            "re-running at wide margin",
-                            int((~np.asarray(cert)).sum()),
-                        )
-                        d, i, _ = jax.device_get(fused(
-                            embedder.params, embedder.batch_stats,
-                            jnp.asarray(images, jnp.float32), store_v,
-                            store_n, store_s, k_eff, t_margin=32,
-                        ))
-                    d, i = np.array(d), np.array(i)
-                    if d.shape[1] < k:
-                        worst = -np.inf if search_metric == "ip" else np.inf
-                        d = np.pad(d, ((0, 0), (0, k - d.shape[1])), constant_values=worst)
-                        i = np.pad(i, ((0, 0), (0, k - i.shape[1])), constant_values=-1)
-                    return d, i
-
-                mb_mode = cfg.micro_batch_mode()
-                if mb_mode != "off":
-                    # collect concurrent uploads into one padded device batch
-                    from image_search_engine_tpu.serving.batching import MicroBatcher
-
-                    if mb_mode == "on":
-                        log.warning(
-                            "--micro-batch measured STRICTLY WORSE at every "
-                            "concurrency on remote-tunnel topologies "
-                            "(independent dispatches already pipeline through "
-                            "the device stream; BENCH_NOTES 'Serving-layer "
-                            "scaling') — it only pays where per-dispatch "
-                            "overhead dominates device time; use "
-                            "--micro-batch auto to measure on your hardware")
-                    self._batcher = MicroBatcher(
-                        batched_search, max_batch=cfg.micro_batch_max,
-                        max_wait_ms=cfg.micro_batch_wait_ms,
-                    )
-                    # "on": trust the flag. "auto": serve per-request until
-                    # prewarm's calibration measures that coalescing beats
-                    # pipelined independent dispatches HERE (prewarm is where
-                    # both programs are warm, so the timing is honest); with
-                    # --no-prewarm there is nothing to measure against, so
-                    # auto stays off.
-                    self._use_batcher = mb_mode == "on"
-                    if mb_mode == "auto":
-                        self._mb_calibrate = dict(
-                            batched_search=batched_search,
-                            image_shape=(s, s, 3),
-                        )
-                    # warm BOTH programs (B=1 and B=max) at startup — the
-                    # first concurrent burst must not hit a cold compile
-                    self._extra_prewarm = lambda k: batched_search(
-                        np.zeros((cfg.micro_batch_max, s, s, 3), np.float32), k
-                    )
-
-                    def search(image: np.ndarray, k: int):
-                        if self._use_batcher:
-                            return self._batcher.search(_resize_host(image, s), k)
-                        return batched_search(_resize_host(image, s)[None], k)
-
-                    return search
-
-                def search(image: np.ndarray, k: int):
-                    return batched_search(_resize_host(image, s)[None], k)
-
-                return search
-
-            from image_search_engine_tpu.parallel.ivf import (
-                ShardedIVF, ShardedIVFPQ, sharded_ivf_scan,
-                sharded_pq_recon_scan)
-
-            if isinstance(index, ShardedIVFPQ):
-                # mesh PQ serving, fused: CNN embed + per-shard probed scan
-                # over startup-resident SHARDED bf16 reconstruction tables
-                # (the recon_cache analog, build_recon_tables) + optional
-                # shard-local exact rerank + ICI merge — one jitted
-                # program, one host transfer per query. All index-sized
-                # arrays ride as jit arguments (closure-bake rule).
-                import functools as _ft
-
-                import jax
-                import jax.numpy as jnp
-
-                normalize = index.metric == "cosine"
-                nprobe = index.nprobe
-                cap = index.lists.shape[1]
-                pool = index.mesh.shape[index.axis] * nprobe * cap
-                recon_t, rnorms_t = index.build_recon_tables()
-                mesh_obj, mesh_axis = index.mesh, index.axis
-                m_, rps = index.m, index.rows_per_shard
-                rerank = index.rerank
-                embed = _make_embed_fn(embedder, s, normalize)
-
-                @_ft.partial(jax.jit, static_argnames=("k", "c"))
-                def fused_sharded_pq(params, batch_stats, images, bcents_t,
-                                     lists_t, pcodes_t, books_t, recon_a,
-                                     rnorms_a, raw_t, rawn_t, k, c):
-                    emb = embed(params, batch_stats, images)
-                    return sharded_pq_recon_scan(
-                        emb, bcents_t, lists_t, pcodes_t, books_t,
-                        mesh=mesh_obj, axis=mesh_axis, nprobe=nprobe, m=m_,
-                        rows_per_shard=rps, k_eff=k, c_eff=c,
-                        raw_rows=raw_t, raw_norms=rawn_t,
-                        recon=recon_a, rnorms=rnorms_a,
-                    )
-
-                def search(image: np.ndarray, k: int):
-                    k_eff = min(k, max(1, min(index.n, pool)))
-                    c_eff = (min(max(rerank, min(k_eff, nprobe * cap)),
-                                 nprobe * cap) if rerank else 0)
-                    out = fused_sharded_pq(
-                        embedder.params, embedder.batch_stats,
-                        jnp.asarray(_resize_host(image, s)[None], jnp.float32),
-                        index.bucket_centroids, index.lists,
-                        index.packed_codes, index.pq_books, recon_t, rnorms_t,
-                        index.raw_rows if c_eff else None,
-                        index.raw_norms if c_eff else None, k_eff, c_eff,
-                    )
-                    d, i = jax.device_get(out)
-                    return index._finish(np.array(d), np.array(i), k)
-
-                return search
-
-            if isinstance(index, ShardedIVF):
-                # mesh cell-probe serving, fused: CNN embed + per-shard
-                # fused probed-scan kernel + ICI merge in one program
-                import functools as _ft
-
-                import jax
-                import jax.numpy as jnp
-
-                normalize = index.metric == "cosine"
-                nprobe = index.nprobe
-                pool = index.mesh.shape[index.axis] * nprobe * index.lists.shape[1]
-                mesh_obj, mesh_axis = index.mesh, index.axis
-                embed = _make_embed_fn(embedder, s, normalize)
-
-                @_ft.partial(jax.jit, static_argnames=("k",))
-                def fused_sharded_ivf(params, batch_stats, images, bcents_t,
-                                      packed_t, pnorms_t, lists_t, k):
-                    emb = embed(params, batch_stats, images)
-                    return sharded_ivf_scan(
-                        emb, bcents_t, packed_t, pnorms_t, lists_t,
-                        mesh=mesh_obj, axis=mesh_axis, nprobe=nprobe, k_eff=k,
-                    )
-
-                def search(image: np.ndarray, k: int):
-                    k_eff = min(k, max(1, min(index.n, pool)))
-                    out = fused_sharded_ivf(
-                        embedder.params, embedder.batch_stats,
-                        jnp.asarray(_resize_host(image, s)[None], jnp.float32),
-                        index.bucket_centroids, index.packed,
-                        index.packed_norms, index.lists, k_eff,
-                    )
-                    d, i = jax.device_get(out)
-                    return index._finish(np.array(d), np.array(i), k)
-
-                return search
-
-            from image_search_engine_tpu.index.ivf import IVFIndex, IVFPQIndex
-
-            if type(index) is IVFPQIndex:
-                # fuse embed + PQ search into one jitted program, one host
-                # transfer per query. The codes are decompressed ONCE at
-                # startup into a resident bf16 reconstruction table
-                # (N*d*2 B — the serving recon-cache mode; scanning it IS
-                # ADC semantics up to bf16 rounding, see
-                # _pq_reconstruct_table), and the probed-scan kernel +
-                # optional exact rerank run in the same dispatch chain.
-                # The generic path paid 2 host hops + the ADC path's 3
-                # readbacks (~75 ms measured at 1M; BENCH_NOTES "IVFPQ at
-                # 1M"). Big arrays ride as ARGUMENTS, not closures — jit
-                # bakes closed-over arrays into the shipped program
-                # (remote_compile rejects ~512 MB constants).
-                import functools as _ft
-
-                import jax
-                import jax.numpy as jnp
-
-                from image_search_engine_tpu.index.ivf import (
-                    _exact_rescore, _pq_reconstruct_table)
-                from image_search_engine_tpu.ops.ivf_pallas import ivf_probed_topk
-
-                normalize = index.metric == "cosine"
-                nprobe = index._effective_nprobe()
-                max_list = index.lists.shape[1]
-                pool = nprobe * max_list
-                bcents, lists_d, valid_d, pcodes, books = index._device_arrays_pq()
-                recon, rnorms = _pq_reconstruct_table(
-                    pcodes, books, bcents, valid_d, index.m)
-                rerank = index.rerank
-                if rerank and index.vectors is None:
-                    log.warning(
-                        "IVFPQ index configured with rerank=%d but the "
-                        "artifact holds codes only — serving ADC-ranked "
-                        "results (rebuild with --pq-rerank to keep raw "
-                        "vectors)", rerank)
-                    rerank = 0
-                raw_d = index._device_raw() if rerank else None
-                embed = _make_embed_fn(embedder, s, normalize)
-
-                # EVERY index-sized array rides as a jit argument (recon /
-                # rnorms / raw are O(N*d); bcents / lists are O(N) too) —
-                # closures bake into the compiled program as constants
-                # (remote_compile rejects ~512 MB; even MBs bloat the
-                # compile cache). Guarded by
-                # test_fused_programs_close_over_no_arrays.
-                @_ft.partial(jax.jit, static_argnames=("k", "c"))
-                def fused_pq(params, batch_stats, images, bcents_t, lists_t,
-                             recon_t, rnorms_t, raw_t, k, c):
-                    emb = embed(params, batch_stats, images)
-                    out = ivf_probed_topk(emb, bcents_t, recon_t, rnorms_t,
-                                          lists_t, c if c else k, nprobe)
-                    if c:
-                        out = _exact_rescore(emb, raw_t, out[1], out[2], k)
-                    return out
-
-                def search(image: np.ndarray, k: int):
-                    k_eff = min(k, index.ntotal, pool)
-                    c_eff = min(max(rerank, k_eff), pool) if rerank else 0
-                    out = fused_pq(
-                        embedder.params, embedder.batch_stats,
-                        jnp.asarray(_resize_host(image, s)[None], jnp.float32),
-                        bcents, lists_d, recon, rnorms, raw_d, k_eff, c_eff,
-                    )
-                    return _fused_finish(index, out, k)
-
-                return search
-
-            if type(index) is IVFIndex:
-                # fuse embed + probed IVF scan into one jitted program —
-                # the unfused path pays two extra host hops (embeddings
-                # come back to host, then go back out with the search),
-                # each a full RTT on the serving path
-                import functools as _ft
-
-                import jax
-                import jax.numpy as jnp
-
-                from image_search_engine_tpu.index.ivf import _ivf_search_kernel
-
-                normalize = index.metric == "cosine"
-                nprobe = index._effective_nprobe()
-                max_list = index.lists.shape[1]
-                bcents, lists_d, valid_d, packed_d, pnorms_d = index._device_arrays()
-                embed = _make_embed_fn(embedder, s, normalize)
-
-                # EVERY index-sized array rides as a jit argument — above
-                # all packed_t, the full packed vector table (~N*d*4 B,
-                # GBs at 1M), but also the O(N) lists/valid/bucket-centroid
-                # arrays. Closures bake into the compiled program as
-                # constants (remote_compile rejects ~512 MB; even MBs bloat
-                # the compile cache). Guarded by
-                # test_fused_programs_close_over_no_arrays.
-                @_ft.partial(jax.jit, static_argnames=("k",))
-                def fused_ivf(params, batch_stats, images, bcents_t,
-                              lists_t, valid_t, packed_t, pnorms_t, k):
-                    emb = embed(params, batch_stats, images)
-                    return _ivf_search_kernel(
-                        emb, bcents_t, lists_t, valid_t, packed_t, pnorms_t,
-                        k, nprobe, max_list,
-                    )
-
-                def search(image: np.ndarray, k: int):
-                    k_eff = min(k, index.ntotal, nprobe * max_list)
-                    out = fused_ivf(
-                        embedder.params, embedder.batch_stats,
-                        jnp.asarray(_resize_host(image, s)[None], jnp.float32),
-                        bcents, lists_d, valid_d, packed_d, pnorms_d, k_eff,
-                    )
-                    return _fused_finish(index, out, k)
-
-                return search
+            if getattr(index, "store", None) is not None:
+                self._index_n = max(1, index.store.n)
 
             def search(image: np.ndarray, k: int):
-                # resize BEFORE the jitted embed so the backbone compiles
-                # once for (1, s, s, 3) instead of per upload resolution
+                # generic staged fallback (chi2 metric): resize BEFORE the
+                # jitted embed so the backbone compiles once for
+                # (1, s, s, 3) instead of per upload resolution
                 feat = embedder.embed_batch(_resize_host(image, s)[None])
                 return index.search(feat, k)
 
@@ -575,96 +275,35 @@ class QueryEngine:
                 s = cfg.resize_size
             index = FlatIndex.load(cfg.bovw_index_path, mesh=mesh)
             self.index = index
+            self._index_n = max(1, index.store.n)
 
-            if (index.mesh is None and index.metric != "chi2"
-                    and hasattr(descriptor, "describe_device")):
+            if index.metric != "chi2" and hasattr(descriptor, "describe_device"):
                 # fuse describe -> quantize -> histogram -> BM25 -> top-k
-                # into ONE jitted program with ONE host transfer. The
-                # generic sequence below pays a host hop between every
-                # stage (each a full RTT on the serving path — the DNN
-                # fused paths measured 1.6-2.1x from removing hops,
-                # BENCH_NOTES "Fused raw-IVF serving"). Index-sized arrays
-                # (codebook centroids, store, norms) ride as jit ARGUMENTS
-                # — closures bake into the compiled program as constants
-                # (remote_compile rejects ~512 MB). Guarded by
-                # test_fused_programs_close_over_no_arrays.
-                import functools as _ft
-
-                import jax
+                # into ONE jitted program (3.31x vs the staged chain on
+                # chip, BENCH_NOTES "Fused BoVW serving"). A BoVW index IS
+                # a FlatIndex over histograms, so the search core is the
+                # same flat family as DNN serving — including the
+                # distributed top-k on a mesh (sharded BoVW keeps the
+                # one-transfer structure too).
                 import jax.numpy as jnp
 
-                from image_search_engine_tpu.ops.bm25 import bm25_transform
-                from image_search_engine_tpu.ops.distances import l2_normalize
-                from image_search_engine_tpu.ops.histogram import batched_histograms
-                from image_search_engine_tpu.ops.kmeans import assign_jax
-                from image_search_engine_tpu.parallel.topk import local_topk_with_norms
-
-                n_clusters = pipeline.n_clusters
-                spherical = pipeline.spherical
                 bm = pipeline.bm25
-                avgdl = (float(bm.avgdl_)
-                         if (bm.use_train_avgdl and bm.avgdl_) else None)
+                cents = jnp.asarray(pipeline.kmeans.cluster_centers_,
+                                    jnp.float32)
                 idf = (jnp.asarray(bm.idf_)
                        if (bm.apply_idf and bm.idf_ is not None) else None)
-                cents = jnp.asarray(pipeline.kmeans.cluster_centers_, jnp.float32)
-                search_metric = "ip" if index.metric in ("ip", "cosine") else index.metric
-                normalize = index.metric == "cosine"
-                store_v, store_n = index.store.vectors, index.store.norms
-                store_s = index.store.scales
-                n_valid = index.store.n
-
-                @_ft.partial(jax.jit, static_argnames=("k", "t_margin"))
-                def fused_bovw(images, cents_t, idf_t, store, norms, scales,
-                               k, t_margin=None):
-                    feats, valid = descriptor.describe_device(images)
-                    b, kp, dd = feats.shape
-                    rows = feats.reshape(-1, dd).astype(jnp.float32)
-                    if spherical:  # KMeans.transform parity (ops/kmeans.py)
-                        rows = l2_normalize(rows)
-                    codes, _ = assign_jax(rows, cents_t)
-                    hist = batched_histograms(
-                        codes.reshape(b, kp), valid, n_clusters)
-                    w = bm25_transform(
-                        hist, bm.k1, bm.k2, bm.b,
-                        avgdl=None if avgdl is None else jnp.float32(avgdl))
-                    if idf_t is not None:
-                        w = w * idf_t[None, :]
-                    if normalize:
-                        w = l2_normalize(w)
-                    return local_topk_with_norms(
-                        w, store, norms, k, search_metric,
-                        use_pallas=(jax.default_backend() == "tpu" and k <= 128),
-                        scales=scales, with_certificate=True, t_margin=t_margin,
-                    )
-
-                def search(image: np.ndarray, k: int):
-                    k_eff = min(k, n_valid)
-                    img = jnp.asarray(_resize_host(image, s)[None], jnp.float32)
-                    out = fused_bovw(img, cents, idf, store_v, store_n,
-                                     store_s, k_eff)
-                    d, i, cert = jax.device_get(out)  # one host transfer
-                    if not np.asarray(cert).all():
-                        log.warning("BoVW top-k certificate failed for %d "
-                                    "queries; re-running at wide margin",
-                                    int((~np.asarray(cert)).sum()))
-                        d, i, _ = jax.device_get(fused_bovw(
-                            img, cents, idf, store_v, store_n, store_s,
-                            k_eff, t_margin=32))
-                    d, i = np.array(d), np.array(i)
-                    if d.shape[1] < k:
-                        worst = -np.inf if search_metric == "ip" else np.inf
-                        d = np.pad(d, ((0, 0), (0, k - d.shape[1])),
-                                   constant_values=worst)
-                        i = np.pad(i, ((0, 0), (0, k - i.shape[1])),
-                                   constant_values=-1)
-                    return d, i
-
-                return search
+                prologue = fused_serving.bovw_prologue(
+                    descriptor, pipeline, normalize=index.metric == "cosine")
+                batched = fused_serving.make_batched_search(
+                    "fused_bovw", prologue, (cents, idf),
+                    *fused_serving.flat_family(index, stats=self.stats,
+                                               label="BoVW "))
+                return fused_serving.wrap_serving(self, batched, s, cfg)
 
             def search(image: np.ndarray, k: int):
-                # generic fallback (sharded index / chi2 metric): match the
-                # index-build image size (descriptor grids/keypoint budgets
-                # are resolution-dependent)
+                # generic fallback (chi2 metric / host-only descriptor):
+                # match the index-build image size (descriptor grids/
+                # keypoint budgets are resolution-dependent)
                 img = _resize_host(image, s)
                 feats, valid = descriptor.describe_batch(img[None])
                 hist = pipeline.transform(feats, valid)
@@ -678,6 +317,7 @@ class QueryEngine:
 
             z = np.load(cfg.dhash_store_path, allow_pickle=False)
             bits = z["bits"]
+            self._index_n = max(1, bits.shape[0])
             s = cfg.resize_size
 
             def search(image: np.ndarray, k: int):

@@ -341,6 +341,41 @@ class IVFIndex:
         return self
 
 
+def _adc_probe_distances(q, cent, pq_books, m: int, ccodes, valid):
+    """One probed cell's ADC distances (traceable, shared by the
+    single-chip ``_ivfpq_search_kernel`` and the mesh
+    ``ShardedIVFPQ.search`` shard program): residual LUT + per-subspace
+    bf16 one-hot einsum so the lookup rides the MXU — measured 13x
+    faster than TPU gathers at the 1M operating point (see
+    ``_ivfpq_search_kernel``). Memory stays bounded at one
+    (Q, L, 256) bf16 transient per subspace step.
+
+    q (Q, d); cent (Q, d) the probed cell's centroid per query;
+    ccodes (Q, L, m) uint8; valid (Q, L) bool. Returns (Q, L) f32
+    distances, +inf at invalid slots."""
+    qn_, d = q.shape
+    dsub = d // m
+    resid = (q - cent).reshape(qn_, m, dsub)  # (Q, m, dsub)
+    # LUT[q, m, 256] = ||resid - book||^2
+    lut = (
+        jnp.sum(resid * resid, axis=2)[:, :, None]
+        - 2.0 * jnp.einsum("qmd,mkd->qmk", resid, pq_books,
+                           preferred_element_type=jnp.float32)
+        + jnp.sum(pq_books * pq_books, axis=2)[None]
+    )  # (Q, m, 256)
+    # dist[q, l] = sum_m lut[q, m, ccodes[q, l, m]], one subspace at a
+    # time so the one-hot transient stays (Q, L, 256) bf16
+    dist = jnp.zeros(ccodes.shape[:2], jnp.float32)
+    for mm in range(m):
+        oh = jax.nn.one_hot(ccodes[:, :, mm].astype(jnp.int32), 256,
+                            dtype=jnp.bfloat16)
+        dist = dist + jnp.einsum(
+            "qlk,qk->ql", oh, lut[:, mm].astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+    return jnp.where(valid, dist, jnp.inf)
+
+
 @functools.partial(
     jax.jit, static_argnames=("k", "nprobe", "max_list", "m", "rerank")
 )
@@ -366,36 +401,17 @@ def _ivfpq_search_kernel(
     only at the (Q, L) one-hot slice.
     """
     qn_, d = q.shape
-    dsub = d // m
     cn = jnp.sum(centroids * centroids, axis=1)
     cd = cn[None, :] - 2.0 * jnp.dot(q, centroids.T, preferred_element_type=jnp.float32)
     _, probe = jax.lax.top_k(-cd, nprobe)  # (Q, nprobe)
 
     # scan probes one at a time: residuals differ per coarse cell
     def per_probe(p):
-        cent = centroids[probe[:, p]]  # (Q, d)
-        resid = (q - cent).reshape(qn_, m, dsub)  # (Q, m, dsub)
-        # LUT[q, m, 256] = ||resid - book||^2
-        lut = (
-            jnp.sum(resid * resid, axis=2)[:, :, None]
-            - 2.0 * jnp.einsum("qmd,mkd->qmk", resid, pq_books,
-                               preferred_element_type=jnp.float32)
-            + jnp.sum(pq_books * pq_books, axis=2)[None]
-        )  # (Q, m, 256)
         cand = lists[probe[:, p]]  # (Q, max_list)
         valid = list_valid[probe[:, p]]
-        ccodes = packed_codes[probe[:, p]]  # (Q, max_list, m) block gather
-        # dist[q, l] = sum_m lut[q, m, ccodes[q, l, m]], one subspace at a
-        # time so the one-hot transient stays (Q, L, 256) bf16
-        dist = jnp.zeros(ccodes.shape[:2], jnp.float32)
-        for mm in range(m):
-            oh = jax.nn.one_hot(ccodes[:, :, mm].astype(jnp.int32), 256,
-                                dtype=jnp.bfloat16)
-            dist = dist + jnp.einsum(
-                "qlk,qk->ql", oh, lut[:, mm].astype(jnp.bfloat16),
-                preferred_element_type=jnp.float32,
-            )
-        dist = jnp.where(valid, dist, jnp.inf)
+        dist = _adc_probe_distances(
+            q, centroids[probe[:, p]], pq_books, m,
+            packed_codes[probe[:, p]], valid)
         return dist, cand, valid
 
     dists, cands, valids = [], [], []

@@ -102,6 +102,8 @@ class ShardedIVF:
         same knob as the single-chip ``IVFIndex(table_dtype=...)``, whose
         bf16 table also measured 2.1x faster on the HBM-bound probed
         scan); scoring stays exact over the stored (rounded) values."""
+        import ml_dtypes
+
         from image_search_engine_tpu.ops.kmeans import assign_jax
 
         if table_dtype not in ("f32", "bf16"):
@@ -121,7 +123,7 @@ class ShardedIVF:
         # over-full cells split into fixed-cap buckets that duplicate the
         # cell centroid (see index/ivf._build_buckets — the single padded
         # rectangle is unbounded on skewed data)
-        from image_search_engine_tpu.index.ivf import _build_buckets
+        from image_search_engine_tpu.index.ivf import _build_buckets, IVFIndex
 
         per_shard = []
         for si in range(s):
@@ -136,37 +138,57 @@ class ShardedIVF:
             per_shard.append((lo, lst, b_cell))
         cap = max(l.shape[1] for _, l, _ in per_shard)
         nb = max(l.shape[0] for _, l, _ in per_shard)
+        dt = np.float32 if table_dtype == "f32" else ml_dtypes.bfloat16
+        chunk = max(1, IVFIndex.PACK_CHUNK_BYTES // max(cap * d * 4, 1))
         lists = np.full((s, nb, cap), -1, np.int32)
         # pad-bucket centroids poisoned far away so they rank last
         bcents = np.full((s, nb, d), 1e15, np.float32)
-        # shard-local packed tables (IVFIndex._pack layout): probing a
-        # bucket is one contiguous (cap, d) block DMA for the fused kernel
-        packed = np.zeros((s, nb, cap, d), np.float32)
+        # norms from the ROUNDED stored values (cast through the table
+        # dtype) so the probed scan stays exact over the table it scans —
+        # derived per chunk, never via a full-size f32 table copy
+        pnorms = np.full((s, nb, cap), np.inf, np.float32)
         for si, (lo, l, b_cell) in enumerate(per_shard):
-            valid = l >= 0
             lists[si, : l.shape[0], : l.shape[1]] = np.where(l >= 0, l + lo, -1)
             bcents[si, : l.shape[0]] = centroids[b_cell]
             if lo >= n:  # empty shard: all-pad bucket, nothing to pack
                 continue
-            rows = x[lo + np.maximum(l, 0)]
-            rows[~valid] = 0.0
-            packed[si, : l.shape[0], : l.shape[1]] = rows
-        table = jnp.asarray(packed.reshape(s * nb, cap, d))
-        if table_dtype == "bf16":
-            # halve the per-shard table; norms come from the rounded values
-            # so the probed scan stays exact over the stored table (same
-            # contract as IVFIndex(table_dtype="bf16"), which also measured
-            # 2.1x faster on the HBM-bound scan)
-            table = table.astype(jnp.bfloat16)
-        table32 = np.asarray(table, np.float32).reshape(s, nb, cap, d)
-        pnorms = np.where(
-            lists >= 0, (table32 * table32).sum(axis=3), np.inf
-        ).astype(np.float32)
+            for b0 in range(0, l.shape[0], chunk):
+                ls = l[b0 : b0 + chunk]
+                rows = x[lo + np.maximum(ls, 0)]
+                if dt is not np.float32:
+                    rows = rows.astype(dt).astype(np.float32)
+                pnorms[si, b0 : b0 + ls.shape[0], : ls.shape[1]] = np.where(
+                    ls >= 0, (rows * rows).sum(axis=2), np.inf)
+
+        def _packed_block(index):
+            """Host block for one shard's slice of the (S*nb, cap, d)
+            packed table, streamed straight onto its device — the full
+            table NEVER exists on host (the round-3 streamed-pack bound,
+            index/ivf._pack, carried to the mesh build: host high-water
+            is corpus + one shard block + one ~128 MB gather chunk)."""
+            g0 = index[0].start or 0
+            g1 = index[0].stop if index[0].stop is not None else s * nb
+            blk = np.zeros((g1 - g0, cap, d), dt)
+            for si in range(s):
+                lo, l, _ = per_shard[si]
+                if lo >= n:
+                    continue
+                # intersection of [g0, g1) with this shard's bucket range
+                a = max(g0, si * nb)
+                b = min(g1, si * nb + l.shape[0])
+                for b0 in range(a, b, chunk):
+                    ls = l[b0 - si * nb : min(b0 + chunk, b) - si * nb]
+                    rows = x[lo + np.maximum(ls, 0)]
+                    rows[ls < 0] = 0.0
+                    blk[b0 - g0 : b0 - g0 + ls.shape[0], : ls.shape[1]] = rows
+            return blk
 
         self.centroids = jax.device_put(jnp.asarray(centroids, jnp.float32),
                                         NamedSharding(mesh, P()))
-        self.packed = jax.device_put(
-            table, NamedSharding(mesh, P(axis, None, None)))
+        self.packed = jax.make_array_from_callback(
+            (s * nb, cap, d), NamedSharding(mesh, P(axis, None, None)),
+            _packed_block,
+        )
         self.packed_norms = jax.device_put(
             jnp.asarray(pnorms.reshape(s * nb, cap)),
             NamedSharding(mesh, P(axis, None)),
@@ -467,13 +489,27 @@ class ShardedIVFPQ(ShardedIVF):
         )
         if raw is not None:
             # row-major per shard: a candidate's raw row is raw_rows[id -
-            # shard_base] — no packed duplicate, N*d*4 total on the mesh
-            rr = np.zeros((s * r, d), np.float32)
-            rr[:n] = np.asarray(raw, np.float32)
+            # shard_base] — no packed duplicate, N*d*4 total on the mesh.
+            # Streamed per shard block via make_array_from_callback: the
+            # padded full-size host copy the round-3 build made (a second
+            # N*d*4 high-water on top of `raw` itself) never exists.
+            raw32 = np.asarray(raw)
+
+            def _raw_block(index):
+                lo = index[0].start or 0
+                hi = index[0].stop if index[0].stop is not None else s * r
+                blk = np.zeros((hi - lo, d), np.float32)
+                if lo < n:
+                    blk[: min(hi, n) - lo] = raw32[lo : min(hi, n)]
+                return blk
+
             rn = np.full(s * r, np.inf, np.float32)
-            rn[:n] = (rr[:n] * rr[:n]).sum(axis=1)
-            self.raw_rows = jax.device_put(
-                jnp.asarray(rr), NamedSharding(mesh, P(axis, None)))
+            step = max(1, (128 << 20) // max(d * 4, 1))
+            for lo0 in range(0, n, step):  # chunked: no full-size square temp
+                blk = raw32[lo0 : lo0 + step].astype(np.float32)
+                rn[lo0 : lo0 + blk.shape[0]] = (blk * blk).sum(axis=1)
+            self.raw_rows = jax.make_array_from_callback(
+                (s * r, d), NamedSharding(mesh, P(axis, None)), _raw_block)
             self.raw_norms = jax.device_put(
                 jnp.asarray(rn), NamedSharding(mesh, P(axis)))
             self.rerank = int(rerank)
@@ -575,11 +611,11 @@ class ShardedIVFPQ(ShardedIVF):
                 "from_codes(raw=...) or an artifact saved store_raw=True"
             )
         q = jnp.asarray(self._prep_query(q))
+        from image_search_engine_tpu.index.ivf import _adc_probe_distances
+
         nprobe = self.nprobe
         cap = self.lists.shape[1]
         m = self.m
-        d = self.centroids.shape[1]
-        dsub = d // m
         axis = self.axis
         r = self.rows_per_shard
         k_eff = min(k, max(1, min(self.n, self.mesh.shape[axis] * nprobe * cap)))
@@ -596,28 +632,12 @@ class ShardedIVFPQ(ShardedIVF):
 
             def per_probe(p):
                 b = probe[:, p]
-                cent = bcents[b]  # (Q, d) — the probed bucket's cell centroid
-                resid = (qr - cent).reshape(qn_, m, dsub)
-                lut = (
-                    jnp.sum(resid * resid, axis=2)[:, :, None]
-                    - 2.0 * jnp.einsum("qmd,mkd->qmk", resid, books,
-                                       preferred_element_type=jnp.float32)
-                    + jnp.sum(books * books, axis=2)[None]
-                )  # (Q, m, 256)
                 cand = lists_local[b]  # (Q, cap) global ids
-                valid = cand >= 0
-                ccodes = pcodes_local[b]  # (Q, cap, m) block gather
-                # per-subspace bf16 one-hot einsum (MXU lookup; TPU
-                # gathers measured 13x slower — see index/ivf.py ADC note)
-                dist = jnp.zeros(ccodes.shape[:2], jnp.float32)
-                for mm in range(m):
-                    oh = jax.nn.one_hot(ccodes[:, :, mm].astype(jnp.int32),
-                                        256, dtype=jnp.bfloat16)
-                    dist = dist + jnp.einsum(
-                        "qlk,qk->ql", oh, lut[:, mm].astype(jnp.bfloat16),
-                        preferred_element_type=jnp.float32,
-                    )
-                return jnp.where(valid, dist, jnp.inf), cand
+                # shared per-probe ADC scan (index/ivf.py — the MXU
+                # one-hot formulation, one definition for both chips)
+                dist = _adc_probe_distances(
+                    qr, bcents[b], books, m, pcodes_local[b], cand >= 0)
+                return dist, cand
 
             dists, cands = [], []
             for p in range(nprobe):

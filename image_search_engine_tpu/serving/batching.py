@@ -60,16 +60,33 @@ def measure_micro_batch_gain(
 
     threaded: List[float] = []
     for _ in range(reps):
-        threads = [
-            threading.Thread(target=batched_search, args=(img1, k))
-            for _ in range(max_batch)
-        ]
-        t0 = time.perf_counter()
+        # threads are created AND started outside the timed region, parked
+        # on an Event — thread spawn overhead has no analog on the batched
+        # side and would bias the auto decision toward batching; and any
+        # exception inside a thread is captured and re-raised so a failing
+        # B=1 dispatch routes through the calibration-failed path instead
+        # of being reported as an artificially fast "threaded" time
+        errors: List[BaseException] = []
+        release = threading.Event()
+
+        def target():
+            release.wait()
+            try:
+                batched_search(img1, k)
+            except BaseException as e:  # noqa: BLE001 — re-raised after join
+                errors.append(e)
+
+        threads = [threading.Thread(target=target) for _ in range(max_batch)]
         for t in threads:
             t.start()
+        t0 = time.perf_counter()
+        release.set()
         for t in threads:
             t.join()
-        threaded.append((time.perf_counter() - t0) / max_batch * 1e3)
+        dt = time.perf_counter() - t0
+        if errors:
+            raise errors[0]
+        threaded.append(dt / max_batch * 1e3)
 
     batched: List[float] = []
     for _ in range(reps):

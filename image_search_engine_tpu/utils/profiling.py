@@ -66,6 +66,7 @@ class ServingStats:
         self._lat = deque(maxlen=window)
         self._count = 0
         self._errors = 0
+        self._escalations = 0
         self._t0 = time.time()
         self._lock = threading.Lock()
 
@@ -76,6 +77,14 @@ class ServingStats:
                 self._errors += 1
             else:
                 self._lat.append(latency_s)
+
+    def record_escalation(self, n: int = 1) -> None:
+        """Count queries whose exactness certificate failed and were
+        re-dispatched at the wide candidate margin (serving/fused.py) —
+        surfaced at /stats so escalations are operator-visible, not
+        log-only."""
+        with self._lock:
+            self._escalations += int(n)
 
     def snapshot(self) -> Dict[str, float]:
         with self._lock:
@@ -91,6 +100,7 @@ class ServingStats:
             return {
                 "requests": self._count,
                 "errors": self._errors,
+                "certificate_escalations": self._escalations,
                 "uptime_s": round(up, 1),
                 "qps_lifetime": round(self._count / max(up, 1e-9), 2),
                 "latency_ms_p50": pct(0.50),

@@ -293,6 +293,83 @@ def test_micro_batch_auto_calibrates_at_prewarm(corpus_dir, monkeypatch):
     assert pred[0][2] == engine2.paths[1]
 
 
+@pytest.mark.parametrize("kw,strict", [
+    (dict(method=Method.DNN, dnn_model=DnnModel.RESNET_TINY,
+          index_type=IndexType.CELL_PROBE, ivf_nlist=4, ivf_nprobe=4), True),
+    (dict(method=Method.DNN, dnn_model=DnnModel.RESNET_TINY,
+          index_type=IndexType.IVFPQ, ivf_nlist=2, ivf_nprobe=2, pq_m=8,
+          pq_rerank=8), True),
+    (dict(method=Method.BOVW, corner_descriptor=CornerDescriptorKind.DAISY,
+          index_type=IndexType.COSINE, num_clusters=16, resize_size=96,
+          daisy_step=16, daisy_radius=16), False),
+])
+def test_micro_batched_all_families(corpus_dir, kw, strict):
+    """--micro-batch now routes EVERY fused family through the
+    MicroBatcher (round 3 had it on flat only): concurrent riders on the
+    IVF / IVFPQ-rerank / BoVW programs must each get their own result."""
+    import concurrent.futures as cf
+
+    from image_search_engine_tpu.utils.imageio import load_image
+
+    cfg = _cfg(corpus_dir, micro_batch=True, micro_batch_wait_ms=20.0, **kw)
+    indexer_main(cfg)
+    engine = QueryEngine(cfg)
+    assert engine._use_batcher  # mode "on": routed through the batcher
+
+    def one(i):
+        img = load_image(engine.paths[i])
+        return i, engine.query(img, k=3)
+
+    with cf.ThreadPoolExecutor(4) as pool:
+        results = list(pool.map(one, range(4)))
+    for i, pred in results:
+        assert len(pred) == 3
+        if strict:  # exact families: each rider got ITS OWN self-match
+            assert pred[0][2] == engine.paths[i]
+            assert pred[0][0] < 0.05
+        else:  # BoVW histogram near-ties: assert group-level correctness
+            g = Path(engine.paths[i]).name.split("_")[0]
+            assert Path(pred[0][2]).name.startswith(g)
+
+
+def test_sharded_engine_bovw_fused(corpus_dir):
+    # engine + mesh + BoVW: the describe->quantize->histogram->BM25
+    # prologue AND the shard_map'd distributed top-k run in ONE jitted
+    # program (round 3 fell back to the staged host-hop chain on a mesh);
+    # parity vs the unsharded index on the same artifact
+    from image_search_engine_tpu.index.flat import FlatIndex
+    from image_search_engine_tpu.parallel.mesh import make_mesh
+    from image_search_engine_tpu.utils.imageio import load_image
+
+    mesh = make_mesh(8)
+    cfg = _cfg(corpus_dir, method=Method.BOVW,
+               corner_descriptor=CornerDescriptorKind.DAISY,
+               index_type=IndexType.COSINE, num_clusters=16,
+               resize_size=96, daisy_step=16, daisy_radius=16)
+    indexer_main(cfg)
+    engine = QueryEngine(cfg, prewarm=False, mesh=mesh)
+    assert engine.index.mesh is not None
+
+    from image_search_engine_tpu.bovw.pipeline import BoVWPipeline
+    from image_search_engine_tpu.descriptors import make_descriptor
+    from image_search_engine_tpu.engine import _resize_host
+
+    pipeline = BoVWPipeline.load(cfg.bovw_pipeline_path)
+    descriptor = make_descriptor(cfg)
+    ref_index = FlatIndex.load(cfg.bovw_index_path)  # unsharded reference
+
+    for p in engine.paths[:3]:
+        img = load_image(p)
+        d_f, i_f = engine._search(img, 5)
+        feats, valid = descriptor.describe_batch(
+            _resize_host(img, cfg.resize_size)[None])
+        hist = pipeline.transform(feats, valid)
+        d_g, i_g = ref_index.search(hist.astype(np.float32), 5)
+        assert set(i_f[0].tolist()) == set(i_g[0].tolist()), (i_f, i_g)
+        np.testing.assert_allclose(np.sort(d_f[0]), np.sort(d_g[0]),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_sharded_engine_flat_fused(corpus_dir):
     # engine + mesh + flat index: embed AND the shard_map'd distributed
     # top-k run in ONE jitted program (one host transfer per query), the
@@ -667,6 +744,9 @@ def test_fused_programs_close_over_no_arrays(corpus_dir, monkeypatch):
 
     monkeypatch.setattr(jax, "jit", spy)
 
+    from image_search_engine_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(8)
     for kw in (
         dict(index_type=IndexType.L2),
         dict(index_type=IndexType.CELL_PROBE, ivf_nlist=4, ivf_nprobe=4),
@@ -676,6 +756,9 @@ def test_fused_programs_close_over_no_arrays(corpus_dir, monkeypatch):
                    dnn_model=DnnModel.RESNET_TINY, **kw)
         indexer_main(cfg)
         QueryEngine(cfg, prewarm=False)
+        # the mesh variants route through their own fused programs —
+        # same closure rule (their per-shard tables are the LARGEST)
+        QueryEngine(cfg, prewarm=False, mesh=mesh)
 
     # the BoVW fused program too (codebook centroids + store must ride
     # as arguments, same rule)
@@ -684,8 +767,9 @@ def test_fused_programs_close_over_no_arrays(corpus_dir, monkeypatch):
     indexer_main(cfg)
     QueryEngine(cfg, prewarm=False)
 
-    # positive control: the spy must have seen all four fused serving
+    # positive control: the spy must have seen all six fused serving
     # programs — if engine.py renames them or stops routing through
     # jax.jit, this guard would otherwise pass vacuously
-    assert {"fused", "fused_ivf", "fused_pq", "fused_bovw"} <= intercepted, intercepted
+    assert {"fused", "fused_ivf", "fused_pq", "fused_bovw",
+            "fused_sharded_ivf", "fused_sharded_pq"} <= intercepted, intercepted
     assert flagged == [], f"fused programs close over arrays: {flagged}"

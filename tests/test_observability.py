@@ -33,6 +33,46 @@ def test_serving_stats_percentiles():
     assert snap["latency_ms_p99"] >= 99
 
 
+def test_serving_stats_escalations_surface():
+    # certificate escalations must be operator-visible at /stats, not
+    # log-only (VERDICT r3 #8b): serving/fused.certificate_epilogue
+    # records them here
+    st = ServingStats()
+    assert st.snapshot()["certificate_escalations"] == 0
+    st.record_escalation(3)
+    st.record_escalation()
+    assert st.snapshot()["certificate_escalations"] == 4
+
+
+def test_certificate_epilogue_escalates_and_counts():
+    # the shared epilogue re-runs at the wide margin exactly when the
+    # certificate fails, and counts the escalation in ServingStats
+    import numpy as np
+
+    from image_search_engine_tpu.serving.fused import (
+        WIDE_MARGIN, certificate_epilogue)
+
+    st = ServingStats()
+    ep = certificate_epilogue(descending=False, stats=st)
+    d = np.array([[1.0, 2.0]])
+    i = np.array([[5, 6]])
+    retried = {}
+
+    def retry(t_margin=None):
+        retried["margin"] = t_margin
+        return np.array([[0.5, 1.0]]), np.array([[7, 8]]), np.array([True])
+
+    # certificate ok: no retry, padded tail to k=3
+    dd, ii = ep((d, i, np.array([True])), 3, retry)
+    assert not retried and ii[0].tolist() == [5, 6, -1]
+    assert dd[0][2] == np.inf
+    # certificate fails: wide-margin retry result served, escalation counted
+    dd, ii = ep((d, i, np.array([False])), 2, retry)
+    assert retried["margin"] == WIDE_MARGIN
+    assert ii[0].tolist() == [7, 8]
+    assert st.snapshot()["certificate_escalations"] == 1
+
+
 def test_load_images_batched_native_matches_pil(rng, tmp_path):
     from image_search_engine_tpu.utils import native_loader
 
