@@ -169,6 +169,13 @@ def main():
 
     import jax
 
+    # persistent compile cache: a tunnel flake mid-run (remote_compile
+    # dropping the response body, observed 2026-08-20) costs a relaunch;
+    # with the cache warm the relaunch skips straight past every compile
+    from image_search_engine_tpu.utils.compile_cache import enable as _cc
+
+    _cc()
+
     from image_search_engine_tpu.training.siamese.config import (
         SiameseConfig, get_latest_checkpoint)
     from image_search_engine_tpu.training.siamese.create_index import create_index
