@@ -59,11 +59,10 @@ def build_corpus(n_train, n_valid, h, w, workdir):
     n = n_train + n_valid
     base = (rng.random((n, 11, 8, 3)) > 0.5).astype(np.float32)
     base = base * (0.3 + 0.7 * rng.random((n, 11, 8, 3)).astype(np.float32))
-    import jax
-    import jax.numpy as jnp
-
-    cards = np.asarray(jax.image.resize(jnp.asarray(base), (n, h, w, 3),
-                                        "nearest"))
+    # exact integer nearest-upsample in numpy (no TPU compile for corpus
+    # generation — a remote resize compile cost ~10 min of a chip run)
+    assert h % 11 == 0 and w % 8 == 0, "card grid must divide (h, w)"
+    cards = np.repeat(np.repeat(base, h // 11, axis=1), w // 8, axis=2)
     shutil.rmtree(workdir, ignore_errors=True)
     (workdir / "train").mkdir(parents=True)
     (workdir / "valid").mkdir(parents=True)
@@ -155,8 +154,14 @@ def main():
     ap.add_argument("--q-per", type=int, default=2)
     ap.add_argument("--height", type=int, default=352)
     ap.add_argument("--width", type=int, default=256)
-    ap.add_argument("--epochs-a", type=int, default=8)
-    ap.add_argument("--epochs-b", type=int, default=8)
+    ap.add_argument("--epochs-a", type=int, default=50)
+    ap.add_argument("--epochs-b", type=int, default=50)
+    ap.add_argument("--loss", default="self_supervised_circle",
+                    help="circle (TF triple form) or self_supervised_circle "
+                         "(the reference PT trainer's "
+                         "SelfSupervisedLoss(CircleLoss), siamese_pt/"
+                         "train.py:189 — the form benchmarks/"
+                         "training_value.py proved moves retrieval)")
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--workdir", type=Path, default=Path("/tmp/siamese_e2e"))
     ap.add_argument("--cpu", action="store_true")
@@ -177,7 +182,7 @@ def main():
     _cc()
 
     from image_search_engine_tpu.training.siamese.config import (
-        SiameseConfig, get_latest_checkpoint)
+        SiameseConfig, extract_epoch_and_loss, get_latest_checkpoint)
     from image_search_engine_tpu.training.siamese.create_index import create_index
     from image_search_engine_tpu.training.siamese.eval import card_retrieval_metrics
     from image_search_engine_tpu.training.siamese.train import Trainer
@@ -200,7 +205,7 @@ def main():
         ckpt_dir=args.workdir / "ckpts",
         log_file=args.workdir / "metrics.jsonl",
         backbone="densenet121", image_size=(args.height, args.width),
-        embedding_dim=128, freeze_backbone=False, loss="circle",
+        embedding_dim=128, freeze_backbone=False, loss=args.loss,
         lr=1e-4, batch_size=args.batch,
     )
 
@@ -211,9 +216,22 @@ def main():
     print(f"[{time.time()-t_all:.0f}s] untrained ({time.time()-t0:.0f}s): "
           f"{json.dumps(before)}", flush=True)
 
+    def save_final(tr, out, upto):
+        """Best-val gating (reference ModelCheckpoint(save_best_only))
+        saves nothing when val is still descending from a spike — but the
+        composed-run demo must resume from the ACTUAL stop point and
+        build the index from the ACTUAL trained weights, so save the
+        final state explicitly when the gate didn't."""
+        last = get_latest_checkpoint(cfg.ckpt_dir)
+        last_ep = extract_epoch_and_loss(last.name)[0] if last else -1
+        if last_ep < upto - 1:
+            vl = out["history"][-1]["val_loss"] if out["history"] else 0.0
+            tr.save_checkpoint(upto - 1, vl)
+
     # phase A
     t0 = time.time()
     outA = trainer.run(epochs=args.epochs_a, val_steps=1)
+    save_final(trainer, outA, args.epochs_a)
     phase_a_s = time.time() - t0
     print(f"[{time.time()-t_all:.0f}s] phase A done ({phase_a_s:.0f}s): "
           f"best val {outA['best_val']:.4f}", flush=True)
@@ -227,7 +245,9 @@ def main():
     trainer = Trainer(cfg)
     embed = lambda x: trainer.embed(x, batch_size=32)  # noqa: E731
     t0 = time.time()
+    resumed_from = None
     outB = trainer.run(epochs=args.epochs_a + args.epochs_b, val_steps=1)
+    save_final(trainer, outB, args.epochs_a + args.epochs_b)
     phase_b_s = time.time() - t0
     resumed_from = trainer.start_epoch
     print(f"[{time.time()-t_all:.0f}s] phase B resumed at epoch "
