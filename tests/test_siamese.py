@@ -236,6 +236,64 @@ def test_create_index_and_eval_crosscheck(card_corpus):
     assert (if_[:, 0] == np.arange(3)).all()  # self-match first
 
 
+def test_siamese_serving_http(card_corpus):
+    """The trained siamese index serves over the SAME HTTP contract as
+    the main engine (training/siamese/serve.py — the reference stops at
+    notebook queries; here L7's output composes with L5's server):
+    self-query returns itself first at ~max cosine, thumbnails ride
+    along, /stats and the 400 error path hold."""
+    import json
+    import threading
+    import urllib.request
+    from http.server import ThreadingHTTPServer
+
+    from image_search_engine_tpu.engine import make_handler
+    from image_search_engine_tpu.training.siamese.create_index import create_index
+    from image_search_engine_tpu.training.siamese.serve import SiameseQueryEngine
+
+    cfg = _tiny_cfg(card_corpus, loss="triplet", lr=1e-2)
+    Trainer(cfg).run(epochs=1, steps_per_epoch=2, val_steps=1)
+    out_index = card_corpus / "siamese.index.npz"
+    out_csv = card_corpus / "images.csv"
+    create_index(cfg, card_corpus / "train", out_index, out_csv)
+
+    engine = SiameseQueryEngine(cfg, out_index, out_csv, n_results=3,
+                                prewarm=False)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(engine))
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        img_bytes = (card_corpus / "train" / "card_2.png").read_bytes()
+        boundary = "sb7"
+        body = (f"--{boundary}\r\n"
+                'Content-Disposition: form-data; name="image"; '
+                'filename="q.png"\r\n'
+                "Content-Type: image/png\r\n\r\n").encode() + img_bytes + \
+            f"\r\n--{boundary}--\r\n".encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/similar_images", data=body,
+            headers={"Content-Type":
+                     f"multipart/form-data; boundary={boundary}"})
+        with urllib.request.urlopen(req) as r:
+            js = json.load(r)
+        assert len(js["prediction"]) == 3
+        dist, thumb, path = js["prediction"][0]
+        assert path.endswith("card_2.png") and thumb
+        assert dist > 0.99  # cosine self-similarity
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/stats") as r:
+            assert json.load(r)["requests"] >= 1
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/similar_images", data=b"")
+        try:
+            urllib.request.urlopen(req)
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        httpd.shutdown()
+
+
 def test_training_improves_retrieval(tmp_path):
     """The capability the whole L7 subsystem exists for (reference
     test_index.py + notebook workflow): siamese training must make
