@@ -42,8 +42,6 @@ import time
 import urllib.request
 from http.server import ThreadingHTTPServer
 from pathlib import Path
-from types import SimpleNamespace
-
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import numpy as np
@@ -100,51 +98,6 @@ def make_queries(cards_u8, q_per):
                            * 255).astype(np.uint8))
             labels.append(np.arange(s, min(s + b, n), dtype=np.int32))
     return np.concatenate(chunks), np.concatenate(labels)
-
-
-class _SiameseServing:
-    """Minimal engine shim for make_handler: serves the trained siamese
-    index over the same HTTP contract (the reference has no siamese
-    server either — its siamese queries run in notebook cells; this
-    composes L7's output with L5's serving surface)."""
-
-    def __init__(self, trainer, index, paths, image_size, n_results=9):
-        from image_search_engine_tpu.utils.profiling import ServingStats
-
-        self.trainer = trainer
-        self.index = index
-        self.paths = [str(p) for p in paths]
-        self.image_size = image_size
-        self.stats = ServingStats()
-        self.cfg = SimpleNamespace(
-            num_images_to_return=n_results, thumbnail_size=256,
-            micro_batch_mode=lambda: "off")
-
-    def query(self, image, k=None):
-        from PIL import Image as _Image
-
-        from image_search_engine_tpu.utils.imageio import thumbnail_b64
-
-        k = k or self.cfg.num_images_to_return
-        t0 = time.time()
-        h, w = self.image_size
-        if image.shape[:2] != (h, w):
-            im = _Image.fromarray(
-                (np.clip(image, 0, 1) * 255).astype(np.uint8))
-            image = np.asarray(im.resize((w, h), _Image.BILINEAR),
-                               np.float32) / 255.0
-        emb = self.trainer.embed(image[None].astype(np.float32), batch_size=32)
-        emb = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True),
-                               1e-12)
-        d, i = self.index.search(emb, k)
-        self.stats.record(time.time() - t0)
-        out = []
-        for dist, idx in zip(d[0].tolist(), i[0].tolist()):
-            if idx < 0:
-                continue
-            out.append((round(float(dist), 4),
-                        thumbnail_b64(self.paths[idx], 256), self.paths[idx]))
-        return out
 
 
 def main():
@@ -269,11 +222,11 @@ def main():
 
     # serve one query over real HTTP: an augmented photo of card 7
     from image_search_engine_tpu.engine import make_handler
-    from image_search_engine_tpu.utils.imageio import load_paths_csv
+    from image_search_engine_tpu.training.siamese.serve import SiameseQueryEngine
 
-    paths = load_paths_csv(args.workdir / "images.csv")
-    shim = _SiameseServing(trainer, index, paths, (args.height, args.width),
-                           n_results=cfg.n_results)
+    shim = SiameseQueryEngine(cfg, args.workdir / "siamese.index.npz",
+                              args.workdir / "images.csv",
+                              n_results=cfg.n_results, prewarm=False)
     httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(shim))
     port = httpd.server_address[1]
     threading.Thread(target=httpd.serve_forever, daemon=True).start()
