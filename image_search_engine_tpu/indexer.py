@@ -264,6 +264,17 @@ def parse_args(argv=None):
                     help="ivfpq only: exact-rerank shortlist size (0 = ADC "
                          "ranking; >0 stores raw vectors in the artifact and "
                          "re-scores the top-C ADC shortlist exactly)")
+    ap.add_argument("--ivf-nlist", type=int, default=8,
+                    help="cell-probe/ivfpq coarse cells (reference "
+                         "ncentroids=8, utils.py:317)")
+    ap.add_argument("--ivf-nprobe", type=int, default=5,
+                    help="cells probed per query (reference nprobe=5, "
+                         "utils.py:324)")
+    ap.add_argument("--pq-m", type=int, default=16,
+                    help="ivfpq subquantizers (reference m=16, utils.py:318)")
+    ap.add_argument("--daisy-step", type=int, default=32,
+                    help="daisy grid step (reference descriptors.py:238-254)")
+    ap.add_argument("--daisy-radius", type=int, default=32)
     ap.add_argument("--native-loader", action="store_true",
                     help="decode+resize with the C++ loader (native/)")
     ap.add_argument("--no-thumbnails", action="store_true",
@@ -286,7 +297,9 @@ def parse_args(argv=None):
         corner_n_levels=a.corner_n_levels, corner_scale_step=a.corner_scale_step,
         embed_batch_size=a.batch_size, resize_size=a.resize_size,
         precompute_thumbnails=not a.no_thumbnails, store_dtype=a.store_dtype,
-        torch_weights=a.torch_weights, pq_rerank=a.pq_rerank, **scaleout,
+        torch_weights=a.torch_weights, pq_rerank=a.pq_rerank,
+        ivf_nlist=a.ivf_nlist, ivf_nprobe=a.ivf_nprobe, pq_m=a.pq_m,
+        daisy_step=a.daisy_step, daisy_radius=a.daisy_radius, **scaleout,
     ), a.native_loader
 
 
