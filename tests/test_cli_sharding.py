@@ -69,6 +69,23 @@ def test_engine_cli_flags_map_to_config():
             cfg.dcn_process_id) == ("h:1", 2, 1)
 
 
+def test_indexer_cli_ivf_and_daisy_flags():
+    # round-4 gap: Config carried these fields but the CLI couldn't set
+    # them (reference hardcodes ncentroids/nprobe/m, utils.py:311-325)
+    from image_search_engine_tpu.indexer import parse_args
+
+    cfg, _ = parse_args(
+        ["--data-dir", "/tmp/nope", "--method", "dnn", "--index-type",
+         "cell-probe", "--ivf-nlist", "4", "--ivf-nprobe", "3",
+         "--pq-m", "8", "--daisy-step", "16", "--daisy-radius", "16",
+         "--no-compile-cache"])
+    assert (cfg.ivf_nlist, cfg.ivf_nprobe, cfg.pq_m) == (4, 3, 8)
+    assert (cfg.daisy_step, cfg.daisy_radius) == (16, 16)
+    # defaults stay at reference values
+    cfg, _ = parse_args(["--data-dir", "/tmp/nope", "--no-compile-cache"])
+    assert (cfg.ivf_nlist, cfg.ivf_nprobe, cfg.pq_m) == (8, 5, 16)
+
+
 def test_engine_no_prewarm_flag():
     from image_search_engine_tpu.engine import parse_args
 
