@@ -6,6 +6,15 @@ single-instance-class images (e.g. trading cards), build a 128-D cosine
 index, and cross-check the index against brute force.
 
     python examples/siamese_workflow.py --train-dir cards/train --valid-dir cards/valid
+
+Recipe notes (measured — BENCH_NOTES "composed end-to-end ON the chip"):
+from a RANDOM backbone the pair-based ``self_supervised_circle`` loss
+converges cleanly at reference geometry while the triple ``circle`` form
+can destabilize early; keep lr at the reference 1e-4; and if you stop a
+run mid-descent remember best-val gating may not have saved recent
+epochs — ``Trainer.save_checkpoint`` the final state explicitly (see
+benchmarks/siamese_e2e_chip.py ``save_final``) before building an index
+from "the latest checkpoint".
 """
 
 from __future__ import annotations
