@@ -70,6 +70,39 @@ def test_topk_twophase_matches_reference(rng, fused, metric, n, d, q, k):
     np.testing.assert_allclose(np.asarray(pd), np.asarray(rd), rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("metric", ["l2", "ip"])
+@pytest.mark.parametrize("with_cert", [True, False])
+def test_topk_twophase_pallas_select_matches_xla(rng, metric, with_cert):
+    """The t-pass extract-min Pallas select (round 4; default) must
+    produce the same results, certificates included, as the lax.top_k
+    select it replaced — measured +5.9% QPS on chip with identical ids
+    at the 1M headline; this pins CPU-interpret parity at odd shapes.
+    ngroups here is 8-divisible (multi-tile) so the Pallas path engages;
+    a second case uses a single-tile store where the guard must fall
+    back to XLA silently."""
+    from image_search_engine_tpu.ops.topk_pallas import topk_twophase
+
+    qv = rng.standard_normal((37, 64)).astype(np.float32)
+    xv = rng.standard_normal((3000, 64)).astype(np.float32)
+    outs = {}
+    for impl in ("xla", "pallas"):
+        outs[impl] = [np.asarray(a) for a in topk_twophase(
+            qv, xv, 9, metric, tile_n=1024, t_margin=3, fused_rescore=True,
+            with_certificate=with_cert, select_impl=impl)]
+    np.testing.assert_array_equal(outs["xla"][1], outs["pallas"][1])
+    np.testing.assert_allclose(outs["xla"][0], outs["pallas"][0],
+                               rtol=2e-4, atol=2e-4)
+    if with_cert:
+        np.testing.assert_array_equal(outs["xla"][2], outs["pallas"][2])
+        assert outs["pallas"][2].all()
+
+    # guard fallback: tiny single-tile store (ngroups not 8-divisible)
+    xs = rng.standard_normal((300, 64)).astype(np.float32)
+    d1, i1 = topk_twophase(qv, xs, 5, metric, select_impl="pallas")
+    d2, i2 = topk_twophase(qv, xs, 5, metric, select_impl="xla")
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
 def test_topk_twophase_fused_bf16_store(rng):
     # fused phase 2 over a bf16 store: exact over the bf16 values, so it
     # must agree with the f32 reference computed on the bf16-rounded store
