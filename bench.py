@@ -32,7 +32,10 @@ import numpy as np
 
 N = 1_000_000
 D = 128
-Q = 2048  # queries per dispatch (throughput knee; see benchmarks/q_scaling.py)
+Q = 4096  # queries per dispatch. Round 2's Q=4096 VMEM-pressure negative
+# is obsolete post Pallas-select: the round-4 operating-point sweep
+# (BENCH_NOTES "Operating point re-sweep") measured Q=4096/qb=64 fastest
+# within one tunnel window (294.2k vs 290.2k QPS at the old Q=2048 pin).
 K = 10
 ITERS = 100  # ~0.85 s window so the ~30-73 ms tunnel RTT correction
 # is <10% of the measurement (30 iters made QPS swing ~25% run-to-run)
@@ -117,12 +120,13 @@ def main() -> None:
         # queries (benchmarks/fused_production.py). The runtime exactness
         # certificate is ON — per-dispatch machine-checked exactness at
         # 0.76% cost (benchmarks/certificate_cost.py).
-        # qb=32 packs more query rows per fused-rescore grid step: +2.6%
-        # at this batched point (benchmarks/qb_sweep.py, identical ids).
+        # qb=64 packs more query rows per fused-rescore grid step
+        # (round-4 sweep at Q=4096; round-2 qb_sweep found the same
+        # monotone trend at Q=2048, identical ids).
         # The library default stays 8 — single-query dispatches pad Q up
         # to qb rows, so 32 would cost the latency path 4x wasted DMAs.
         return topk_twophase(q, x, K, "l2", x_norms=xn, tile_n=4096,
-                             t_margin=2, interpret=not on_tpu, qb=32,
+                             t_margin=2, interpret=not on_tpu, qb=64,
                              with_certificate=True)
 
     # RTT: tiny op + readback
