@@ -22,6 +22,14 @@ the number is ru_maxrss of that process. NOTE: on the CPU backend the
 them), so the absolute numbers overstate a TPU host's RSS — the
 STREAMED-vs-WHOLE delta is the measurement.
 
+PQ raw-rows caveat (round 4): pq_whole 1819 MB vs pq_streamed 1940 MB is
+a WASH **on CPU only** — ``jnp.asarray`` zero-copies f32 host arrays on
+the CPU backend, while the streamed callback's per-shard blocks are real
+copies, so the comparison is backend-biased. The TPU-host arithmetic is:
+whole = corpus + a full padded (S*r, d) f32 copy (+N*d*4 high-water);
+streamed = corpus + ONE shard block at a time (+N*d*4/S). Do not read
+the CPU wash as "streaming buys nothing for PQ raw rows".
+
     python benchmarks/sharded_pack_memory.py [--n 1000000] [--d 128]
 """
 

@@ -46,6 +46,9 @@ class IndexType(enum.Enum):
 
     COSINE = "cosine"  # inner-product over L2-normalized rows
     L2 = "l2"
+    CHI2 = "chi2"  # chi-squared histogram distance (the reference ships
+    # chi2_distance unwired, backend/utils.py:91-97; here it is a
+    # first-class flat metric, natural for BoVW histograms)
     CELL_PROBE = "cell-probe"  # IVF (coarse quantizer + probed lists)
     IVFPQ = "ivfpq"  # IVF + product quantization
 
@@ -139,6 +142,12 @@ class Config:
     prewarm: bool = True  # compile the serving path before the first request
     # (--no-prewarm skips it — with the persistent compilation cache warm,
     # a restart's first query is already compiled)
+    prewarm_wide: bool = False  # also compile the WIDE-margin program the
+    # certificate escalation retries with: t_margin is a static jit arg,
+    # so without this the first escalation pays a full recompile inside
+    # the request path (minutes over a remote-compile tunnel). Off by
+    # default — escalations are rare (0/40960 at the validated margins)
+    # and the extra startup compile is not free.
 
     # --- mesh / sharding ------------------------------------------------------
     mesh_axis: str = "data"  # 1-D mesh axis the vector store is sharded over

@@ -82,6 +82,11 @@ class QueryEngine:
         self._batcher = None
         self._extra_prewarm = None
         self._mb_calibrate = None
+        # multi-host serving state (serving/multihost.py): on a mesh that
+        # spans processes, every dispatch broadcasts to the workers first
+        self._mh_coordinator = None
+        self._fused_raw = None
+        self._fused_dispatch = None  # (images, k, t_margin) -> device out
         # rows the loaded index actually holds — can be SMALLER than the
         # path list after per-image error-skips, so prewarm derives its
         # k from this, not from len(paths)
@@ -116,6 +121,19 @@ class QueryEngine:
             self._search(dummy, k_warm)
             if self._extra_prewarm is not None:
                 self._extra_prewarm(k_warm)
+            if self.cfg.prewarm_wide and self._fused_dispatch is not None:
+                # t_margin is a static jit arg: without this, the FIRST
+                # certificate escalation recompiles the fused program at
+                # the wide margin inside the request path (minutes over a
+                # remote-compile tunnel)
+                from image_search_engine_tpu.serving.fused import WIDE_MARGIN
+
+                import jax
+
+                jax.block_until_ready(
+                    self._fused_dispatch(dummy[None], k_warm, WIDE_MARGIN))
+                log.info("prewarmed the wide-margin (%d) escalation program",
+                         WIDE_MARGIN)
         except Exception as e:  # noqa: BLE001 — prewarm failing must not block serving
             log.warning("prewarm failed (serving continues, first query compiles): %s", e)
             return
@@ -158,6 +176,7 @@ class QueryEngine:
                         "per-request (batching OFF): %s", e)
             return
         self._use_batcher = micro_batch_pays(threaded_ms, batched_ms)
+        self._mb_calibrated = True
         log.info(
             "micro-batch auto-calibration: %.1f ms/query pipelined "
             "independent dispatches vs %.1f ms/query coalesced (B=%d) "
@@ -168,15 +187,16 @@ class QueryEngine:
 
     def _dnn_family(self, index):
         """Pick the fused serving family for a DNN index: (program name,
-        (core, core_args, statics_fn, epilogue)) from serving/fused.py,
-        or None for the generic staged fallback (chi2 flat — elementwise
-        metric, no fused kernel)."""
+        (core, core_args, statics_fn, epilogue)) from serving/fused.py.
+        Every index family is fused (chi2 included — the chunked scan is
+        traceable); None remains only as a defensive fallback for an
+        index type this map has never seen."""
         from image_search_engine_tpu.index.flat import FlatIndex
         from image_search_engine_tpu.index.ivf import IVFIndex, IVFPQIndex
         from image_search_engine_tpu.parallel.ivf import ShardedIVF, ShardedIVFPQ
         from image_search_engine_tpu.serving import fused as fused_serving
 
-        if isinstance(index, FlatIndex) and index.metric != "chi2":
+        if isinstance(index, FlatIndex):
             self._index_n = max(1, index.store.n)
             return "fused", fused_serving.flat_family(index, stats=self.stats)
         if isinstance(index, ShardedIVFPQ):  # subclass of ShardedIVF: first
@@ -192,6 +212,43 @@ class QueryEngine:
             self._index_n = max(1, index.ntotal)
             return "fused_ivf", fused_serving.ivf_family(index)
         return None
+
+    def _make_coordinator(self, cfg: Config, image_size: int, mesh):
+        """Multi-host dispatch coordination (serving/multihost.py): when
+        the mesh spans processes, a query landing on THIS process's HTTP
+        server must be broadcast so every process joins the collective
+        search program (VERDICT r4 missing #1). Returns None on
+        single-process meshes — zero overhead there."""
+        if mesh is None:
+            return None
+        import jax
+
+        if jax.process_count() <= 1:
+            return None
+        from image_search_engine_tpu.serving.multihost import MultihostCoordinator
+
+        bmax = (cfg.micro_batch_max
+                if cfg.micro_batch_mode() != "off" else 1)
+        self._mh_coordinator = MultihostCoordinator(bmax, image_size)
+        log.info("multi-host serving: %d processes, broadcast shape "
+                 "(%d, %d, %d, 3)", jax.process_count(), bmax, image_size,
+                 image_size)
+        return self._mh_coordinator
+
+    @staticmethod
+    def _require_fused_for_multihost(mesh, what: str):
+        """Non-fused serving paths have no broadcast hook: on a
+        multi-process mesh they would enqueue collective programs the
+        workers never join (a hang, not an error) — refuse loudly."""
+        if mesh is None:
+            return
+        import jax
+
+        if jax.process_count() > 1:
+            raise RuntimeError(
+                f"multi-host serving supports fused index families only; "
+                f"{what} has no broadcast-dispatch path. Serve it "
+                f"single-host (drop --dcn-*).")
 
     def _build(self, cfg: Config, mesh) -> Callable[[np.ndarray, int], Tuple[np.ndarray, np.ndarray]]:
         from image_search_engine_tpu.serving import fused as fused_serving
@@ -228,14 +285,19 @@ class QueryEngine:
                     embedder, s, normalize=index.metric == "cosine")
                 batched = fused_serving.make_batched_search(
                     name, prologue, (embedder.params, embedder.batch_stats),
-                    *parts)
+                    *parts, coordinator=self._make_coordinator(cfg, s, mesh))
+                self._fused_raw = batched.raw_dispatch
+                self._fused_dispatch = batched.dispatch
                 return fused_serving.wrap_serving(self, batched, s, cfg)
 
             if getattr(index, "store", None) is not None:
                 self._index_n = max(1, index.store.n)
+            self._require_fused_for_multihost(
+                mesh, f"index type {type(index).__name__}")
 
             def search(image: np.ndarray, k: int):
-                # generic staged fallback (chi2 metric): resize BEFORE the
+                # defensive staged fallback (unknown index type only —
+                # every shipped family serves fused): resize BEFORE the
                 # jitted embed so the backbone compiles once for
                 # (1, s, s, 3) instead of per upload resolution
                 feat = embedder.embed_batch(_resize_host(image, s)[None])
@@ -277,7 +339,7 @@ class QueryEngine:
             self.index = index
             self._index_n = max(1, index.store.n)
 
-            if index.metric != "chi2" and hasattr(descriptor, "describe_device"):
+            if hasattr(descriptor, "describe_device"):
                 # fuse describe -> quantize -> histogram -> BM25 -> top-k
                 # into ONE jitted program (3.31x vs the staged chain on
                 # chip, BENCH_NOTES "Fused BoVW serving"). A BoVW index IS
@@ -297,13 +359,20 @@ class QueryEngine:
                 batched = fused_serving.make_batched_search(
                     "fused_bovw", prologue, (cents, idf),
                     *fused_serving.flat_family(index, stats=self.stats,
-                                               label="BoVW "))
+                                               label="BoVW "),
+                    coordinator=self._make_coordinator(cfg, s, mesh))
+                self._fused_raw = batched.raw_dispatch
+                self._fused_dispatch = batched.dispatch
                 return fused_serving.wrap_serving(self, batched, s, cfg)
 
+            self._require_fused_for_multihost(
+                mesh, f"descriptor {type(descriptor).__name__} (host-only)")
+
             def search(image: np.ndarray, k: int):
-                # generic fallback (chi2 metric / host-only descriptor):
-                # match the index-build image size (descriptor grids/
-                # keypoint budgets are resolution-dependent)
+                # generic fallback (host-only descriptor without a
+                # traceable describe_device): match the index-build image
+                # size (descriptor grids/keypoint budgets are
+                # resolution-dependent)
                 img = _resize_host(image, s)
                 feats, valid = descriptor.describe_batch(img[None])
                 hist = pipeline.transform(feats, valid)
@@ -312,6 +381,9 @@ class QueryEngine:
             return search
 
         if cfg.method == Method.DHASH:
+            # dhash never shards (64-bit hashes fit anywhere); a worker
+            # would sit in a loop no dispatch ever feeds
+            self._require_fused_for_multihost(mesh, "method dhash")
             from image_search_engine_tpu.ops.dhash import dhash_bits, hamming_topk
             from image_search_engine_tpu.ops.image_ops import rgb_to_gray
 
@@ -535,11 +607,16 @@ def make_handler(engine: QueryEngine):
                 mb = engine.cfg.micro_batch_mode()
                 if mb != "off":
                     # surface the (possibly auto-calibrated) routing so an
-                    # operator can see which path requests actually take
+                    # operator can see which path requests actually take —
+                    # including "auto" whose calibration never ran
+                    # (--no-prewarm: queries serve unbatched)
                     snap["micro_batch"] = {
                         "mode": mb,
                         "active": bool(getattr(engine, "_use_batcher", False)),
                     }
+                    if mb == "auto":
+                        snap["micro_batch"]["calibrated"] = bool(
+                            getattr(engine, "_mb_calibrated", False))
                 self._json(200, snap)
                 return
             if self.path not in ("/", "/index.html"):
@@ -599,11 +676,31 @@ def serve(cfg: Config, mesh=None, prewarm: Optional[bool] = None) -> None:
         if mesh is not None:
             log.info("sharded serving over a %d-device mesh",
                      mesh.devices.size)
+    multihost = False
+    if mesh is not None:
+        import jax
+
+        multihost = jax.process_count() > 1
+        if multihost and jax.process_index() != 0:
+            # worker process: build the identical engine (same artifacts,
+            # same flags — program construction must match process 0's),
+            # then replay its dispatch stream; no HTTP server here
+            from image_search_engine_tpu.serving.multihost import worker_loop
+
+            engine = QueryEngine(cfg, mesh=mesh, prewarm=False)
+            worker_loop(engine)
+            return
     engine = QueryEngine(cfg, mesh=mesh, prewarm=prewarm)
     httpd = ThreadingHTTPServer((cfg.host, cfg.port), make_handler(engine))
     log.info("serving %s on http://%s:%d (corpus: %d images)",
              cfg.method.value, cfg.host, cfg.port, len(engine.paths))
-    httpd.serve_forever()
+    try:
+        httpd.serve_forever()
+    finally:
+        if multihost and engine._mh_coordinator is not None:
+            # release the workers out of their broadcast loop
+            with engine._mh_coordinator.lock:
+                engine._mh_coordinator.shutdown()
 
 
 def parse_args(argv=None) -> Config:
@@ -629,6 +726,13 @@ def parse_args(argv=None) -> Config:
                     help="skip the startup compile of the serving path "
                          "(use when the persistent compilation cache is "
                          "already warm; first query compiles otherwise)")
+    ap.add_argument("--prewarm-wide-margin", action="store_true",
+                    help="also compile the wide-margin program the "
+                         "exactness-certificate escalation retries with "
+                         "(otherwise the FIRST escalation recompiles in "
+                         "the request path; escalations are rare, so "
+                         "this trades startup time for worst-case "
+                         "request latency)")
     from image_search_engine_tpu.utils.cli import (add_scaleout_args,
                                                    apply_scaleout_args)
 
@@ -641,7 +745,8 @@ def parse_args(argv=None) -> Config:
         index_type=IndexType(a.index_type), dnn_model=DnnModel(a.dnn_model),
         host=a.host, port=a.port, resize_size=a.resize_size,
         micro_batch=a.micro_batch, torch_weights=a.torch_weights,
-        prewarm=not a.no_prewarm, **apply_scaleout_args(a),
+        prewarm=not a.no_prewarm, prewarm_wide=a.prewarm_wide_margin,
+        **apply_scaleout_args(a),
     )
 
 

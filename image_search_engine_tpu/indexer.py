@@ -88,9 +88,8 @@ def build_dnn_index(cfg: Config, paths, mesh=None, use_native: bool = False) -> 
         desc, paths, image_size=cfg.resize_size, batch_size=cfg.embed_batch_size,
         use_native=use_native,
     )
-    metric = {"cosine": "cosine", "l2": "l2", "cell-probe": "l2", "ivfpq": "l2"}[
-        cfg.index_type.value
-    ]
+    metric = {"cosine": "cosine", "l2": "l2", "chi2": "chi2",
+              "cell-probe": "l2", "ivfpq": "l2"}[cfg.index_type.value]
     if cfg.index_type in (IndexType.CELL_PROBE, IndexType.IVFPQ):
         from image_search_engine_tpu.index.ivf import IVFIndex, IVFPQIndex
 
@@ -181,7 +180,7 @@ def build_bovw_index(cfg: Config, paths, mesh=None, use_native: bool = False) ->
     hists = pipeline.fit_transform(feats, valid)
     pipeline.save(cfg.bovw_pipeline_path)
 
-    metric = "cosine" if cfg.index_type == IndexType.COSINE else "l2"
+    metric = {"cosine": "cosine", "chi2": "chi2"}.get(cfg.index_type.value, "l2")
     index = FlatIndex(metric, mesh=mesh, dtype=cfg.store_dtype).add(hists)
     index.save(cfg.bovw_index_path)
     save_paths_csv([paths[i] for i in kept], cfg.paths_file)
@@ -219,6 +218,22 @@ def main(cfg: Config, mesh=None, use_native: bool = False) -> None:
         mesh = mesh_from_config(cfg)  # None unless --sharded/--dcn-* asked
         if mesh is not None:
             log.info("sharded build over a %d-device mesh", mesh.devices.size)
+    if mesh is not None:
+        import jax
+
+        if jax.process_count() > 1:
+            # honest refusal rather than an undefined-behavior build: the
+            # index build has no multi-process dispatch coordination (host
+            # decode batching and artifact writes are per-process; on a
+            # shared FS every process would race the same .npz). Build
+            # single-host (optionally --sharded over local chips); SERVING
+            # the artifact multi-host is supported (ise-serve --dcn-*,
+            # serving/multihost.py).
+            raise SystemExit(
+                "ise-index does not support multi-host (--dcn-*) builds: "
+                "build the index on one host, share the artifacts "
+                "directory, then serve it multi-host with ise-serve "
+                "--dcn-*.")
     cfg.artifacts_dir.mkdir(parents=True, exist_ok=True)
     paths = get_image_paths(cfg.data_dir)
     if not paths:

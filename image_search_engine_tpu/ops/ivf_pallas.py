@@ -57,7 +57,8 @@ def _probed_scan_kernel(probe_ref, *refs, qb: int, f32_table: bool):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "nprobe", "qb", "interpret")
+    jax.jit,
+    static_argnames=("k", "nprobe", "qb", "interpret", "select_impl"),
 )
 def ivf_probed_topk(
     q: jnp.ndarray,
@@ -69,6 +70,7 @@ def ivf_probed_topk(
     nprobe: int,
     qb: int = 8,
     interpret: Optional[bool] = None,
+    select_impl: str = "xla",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Batched IVF search with the fused probed-scan kernel.
 
@@ -80,6 +82,13 @@ def ivf_probed_topk(
       lists: (nbuckets, cap) int32 global row ids, -1 at pad slots.
       k: neighbors.
       nprobe: buckets to scan per query.
+      select_impl: final top-k over the (Q, nprobe*cap) scores — "xla"
+        (``lax.top_k``) or "pallas" (the flat path's t-pass extract-min
+        kernel, ``topk_pallas._select_topt``). Unlike the flat path —
+        whose phase 1 emits group-major mins the select consumes
+        directly — the probed scan emits QUERY-major scores, so "pallas"
+        first pays a (Q, W) -> (W, Q) relayout. A/B'd on chip by
+        benchmarks/ivf_select_probe.py (BENCH_NOTES round 5).
     Returns:
       (dist (Q, k) ascending squared-L2, ids (Q, k), ok (Q, k) bool).
     """
@@ -153,7 +162,21 @@ def ivf_probed_topk(
     cand = lists_p[probe].reshape(qn, nprobe * cap_p)
 
     qnorm = jnp.sum(q.astype(jnp.float32) * q, axis=1, keepdims=True)
-    kk = min(k, nprobe * cap_p)
+    w = nprobe * cap_p
+    kk = min(k, w)
+    sel_fits = (8.0 * w * 128 * 4) + (4 << 20) <= 112 * (1 << 20)
+    if select_impl == "pallas" and kk < w and w % 8 == 0 and sel_fits:
+        from image_search_engine_tpu.ops.topk_pallas import _select_topt
+
+        # the select kernel consumes slot-major (W, Q) columns: pay the
+        # relayout explicitly (the probed scan writes query-major)
+        sel_vals, sel_ids = _select_topt(scores.T, kk, interpret)
+        # the select pads its column (query) dim to 128: slice it back
+        svals = sel_vals.T[:qn]  # (Q, kk) ascending scores (+inf at pads)
+        pos = sel_ids.T[:qn].astype(jnp.int32)
+        ids = jnp.take_along_axis(cand, pos, axis=1)
+        ok = jnp.isfinite(svals) & (ids >= 0)
+        return jnp.maximum(svals + qnorm, 0.0), ids, ok
     vals, pos = jax.lax.top_k(-scores, kk)
     ids = jnp.take_along_axis(cand, pos, axis=1)
     ok = jnp.isfinite(-vals) & (ids >= 0)

@@ -677,7 +677,15 @@ def topk_twophase(
         # The pad rows that remain participate (scores discarded); their
         # candidate ids are in-range, so the gathers stay valid.
         qp2 = min(qp, round_up(qn_rows, qb))
-        if select_impl == "pallas" and t < ngroups and ngroups % 8 == 0:
+        # the select kernel keeps the (ngroups, 128) mins block plus ~4-5
+        # live same-size temporaries in scoped VMEM (its CompilerParams
+        # budget 8 blocks); ngroups scales with the corpus (npad/GROUP),
+        # so past ~5-10M rows that budget exceeds the 112 MB cap and the
+        # compile would FAIL at dispatch time — fall back to the XLA
+        # select there instead (it has no such ceiling)
+        select_fits = (8.0 * ngroups * 128 * 4) + (4 << 20) <= 112 * (1 << 20)
+        if (select_impl == "pallas" and t < ngroups and ngroups % 8 == 0
+                and select_fits):
             # t-pass extract-min Pallas select over the group-major mins:
             # skips the (ngroups, Q) transpose relayout AND the XLA
             # partial sort (1.29 ms -> VPU time at the 1M headline

@@ -56,6 +56,7 @@ def make_batched_search(
     core_args: tuple,
     statics_fn: Callable[[int], Tuple[int, int]],
     epilogue: Callable,
+    coordinator=None,
 ) -> BatchedSearch:
     """Compose a feature prologue and a search core into one jitted
     program and wrap it with the family's host epilogue.
@@ -69,6 +70,13 @@ def make_batched_search(
     ``epilogue(out, k, retry) -> (d, i)`` performs the one device_get;
     ``retry(t_margin=...)`` re-dispatches the same query at a wide
     candidate margin (certificate escalation).
+
+    ``coordinator`` (serving/multihost.MultihostCoordinator) makes every
+    dispatch — including the certificate retry — broadcast its (batch,
+    k, t_margin) to the worker processes first, under the coordinator's
+    lock so broadcast order is enqueue order. The returned function also
+    carries ``raw_dispatch(images, k, t_margin)`` — the bare program
+    enqueue the workers replay (no broadcast, no epilogue).
     """
     import jax
     import jax.numpy as jnp
@@ -83,16 +91,26 @@ def make_batched_search(
     fused.__name__ = name
     jfused = jax.jit(fused, static_argnames=("k", "c", "t_margin"))
 
-    def batched_search(images: np.ndarray, k: int):
+    def raw_dispatch(images: np.ndarray, k: int, t_margin=None):
         k_eff, c_eff = statics_fn(k)
-        imgs = jnp.asarray(images, jnp.float32)
+        return jfused(prologue_args, jnp.asarray(images, jnp.float32),
+                      core_args, k=k_eff, c=c_eff, t_margin=t_margin)
 
+    def dispatch(images: np.ndarray, k: int, t_margin=None):
+        if coordinator is not None:
+            with coordinator.lock:
+                coordinator.announce(images, k, t_margin)
+                return raw_dispatch(images, k, t_margin)
+        return raw_dispatch(images, k, t_margin)
+
+    def batched_search(images: np.ndarray, k: int):
         def run(t_margin=None):
-            return jfused(prologue_args, imgs, core_args,
-                          k=k_eff, c=c_eff, t_margin=t_margin)
+            return dispatch(images, k, t_margin)
 
         return epilogue(run(), k, run)
 
+    batched_search.raw_dispatch = raw_dispatch
+    batched_search.dispatch = dispatch
     return batched_search
 
 
@@ -117,7 +135,17 @@ def certificate_epilogue(descending: bool, stats=None, label: str = ""):
                         "re-running at wide margin", label, n_fail)
             if stats is not None:
                 stats.record_escalation(n_fail)
-            d, i, _ = jax.device_get(retry(t_margin=WIDE_MARGIN))
+            d, i, cert2 = jax.device_get(retry(t_margin=WIDE_MARGIN))
+            if not np.asarray(cert2).all():
+                # matching FlatIndex.search's escalation reporting: results
+                # are still served (best effort), but never silently
+                n_still = int((~np.asarray(cert2)).sum())
+                log.error(
+                    "%stop-k certificate STILL failing for %d queries at "
+                    "wide margin %d — serving best-effort results",
+                    label, n_still, WIDE_MARGIN)
+                if stats is not None:
+                    stats.record_escalation(n_still)
         d, i = np.array(d), np.array(i)
         if d.shape[1] < k:
             worst = -np.inf if descending else np.inf
@@ -224,7 +252,10 @@ def flat_family(index, stats=None, label: str = ""):
     distributed: on a mesh the shard_map'd per-shard scan + ICI
     all_gather merge runs INSIDE the same program (shard_map composes
     under jit). Emits the exactness certificate either way — per-shard
-    certs AND-reduce over ICI on the mesh (parallel/topk.py:198-204)."""
+    certs AND-reduce over ICI on the mesh (parallel/topk.py:198-204).
+    chi2 (elementwise, no matmul form) rides the same structure through
+    the fixed-memory chunked XLA scan (parallel/topk._chi2_topk_chunked);
+    its scan is exhaustive, so the certificate is True by construction."""
     import jax
 
     from image_search_engine_tpu.parallel.topk import (
@@ -245,8 +276,10 @@ def flat_family(index, stats=None, label: str = ""):
         return local_topk_with_norms(
             emb, store, norms, k, search_metric,
             # fused-kernel candidate machinery is sized for serving k;
-            # k > 128 takes the exact XLA full scan (index/flat.py rule)
-            use_pallas=(jax.default_backend() == "tpu" and k <= 128),
+            # k > 128 takes the exact XLA full scan (index/flat.py rule);
+            # chi2 has no kernel (elementwise metric, chunked scan)
+            use_pallas=(jax.default_backend() == "tpu" and k <= 128
+                        and search_metric != "chi2"),
             scales=scales, with_certificate=True, t_margin=t_margin,
         )
 
@@ -423,7 +456,15 @@ def wrap_serving(engine, batched_search: BatchedSearch, image_size: int, cfg):
     # calibration measures that coalescing beats pipelined independent
     # dispatches HERE (prewarm is where both programs are warm, so the
     # timing is honest); with --no-prewarm there is nothing to measure
-    # against, so auto stays off.
+    # against, so auto stays off — say so loudly instead of silently
+    # reporting "auto" with calibration never having run.
+    if mb_mode == "auto" and not getattr(cfg, "prewarm", True):
+        log.warning(
+            "--micro-batch auto needs prewarm to calibrate; with "
+            "--no-prewarm calibration never runs and queries serve "
+            "UNBATCHED (drop --no-prewarm, or pass --micro-batch on/off "
+            "explicitly)")
+    engine._mb_calibrated = False  # surfaced via /stats ("calibrated")
     engine._use_batcher = mb_mode == "on"
     engine._batcher = None
     engine._batcher_lock = threading.Lock()

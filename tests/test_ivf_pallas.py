@@ -42,6 +42,28 @@ def test_probed_scan_matches_xla_ivf(ivf_corpus):
                                rtol=1e-3, atol=1e-3)
 
 
+def test_probed_scan_pallas_select_matches_xla_select(ivf_corpus):
+    """select_impl="pallas" (the flat path's t-pass extract-min over the
+    transposed scores) must produce the same neighbors/distances as the
+    lax.top_k select — exact-tie order may differ, sets may not."""
+    x, q = ivf_corpus
+    ivf = IVFIndex(nlist=8, nprobe=4).add(x)
+    nprobe = ivf._effective_nprobe()
+    args = (jnp.asarray(q), jnp.asarray(ivf.bucket_centroids),
+            jnp.asarray(ivf.packed), jnp.asarray(ivf.packed_norms),
+            jnp.asarray(ivf.lists))
+    d1, i1, ok1 = ivf_probed_topk(*args, 10, nprobe, qb=4,
+                                  select_impl="xla")
+    d2, i2, ok2 = ivf_probed_topk(*args, 10, nprobe, qb=4,
+                                  select_impl="pallas")
+    np.testing.assert_array_equal(np.sort(np.asarray(i1), 1),
+                                  np.sort(np.asarray(i2), 1))
+    np.testing.assert_allclose(np.sort(np.asarray(d1), 1),
+                               np.sort(np.asarray(d2), 1),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(ok1), np.asarray(ok2))
+
+
 def test_probed_scan_bf16_table(ivf_corpus):
     x, q = ivf_corpus
     ivf = IVFIndex(nlist=8, nprobe=8, table_dtype="bf16").add(x)
