@@ -46,7 +46,7 @@ def main():
         c + rng.standard_normal((N // 4096, D)).astype(np.float32)
         for c in centers
     ])[:N]
-    q = x[rng.choice(N, 2048, replace=False)] + 0.1 * rng.standard_normal(
+    q = x[rng.choice(len(x), 2048, replace=False)] + 0.1 * rng.standard_normal(
         (2048, D)).astype(np.float32)
 
     t0 = time.time()
@@ -76,11 +76,11 @@ def main():
 
     def timed(fn, reps):
         out = fn()
-        _ = np.asarray(jax.tree_util.tree_leaves(out)[0])[..., :1]
+        _ = np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
         t0 = time.time()
         for _ in range(reps):
             out = fn()
-        _ = np.asarray(jax.tree_util.tree_leaves(out)[0])[..., :1]
+        _ = np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
         return max((time.time() - t0 - rtt) / reps, 1e-9)
 
     for qn in (1024, 2048):

@@ -70,7 +70,7 @@ def ivf_probed_topk(
     nprobe: int,
     qb: int = 8,
     interpret: Optional[bool] = None,
-    select_impl: str = "xla",
+    select_impl: str = "pallas",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Batched IVF search with the fused probed-scan kernel.
 
@@ -82,13 +82,17 @@ def ivf_probed_topk(
       lists: (nbuckets, cap) int32 global row ids, -1 at pad slots.
       k: neighbors.
       nprobe: buckets to scan per query.
-      select_impl: final top-k over the (Q, nprobe*cap) scores — "xla"
-        (``lax.top_k``) or "pallas" (the flat path's t-pass extract-min
-        kernel, ``topk_pallas._select_topt``). Unlike the flat path —
-        whose phase 1 emits group-major mins the select consumes
-        directly — the probed scan emits QUERY-major scores, so "pallas"
-        first pays a (Q, W) -> (W, Q) relayout. A/B'd on chip by
-        benchmarks/ivf_select_probe.py (BENCH_NOTES round 5).
+      select_impl: final top-k over the (Q, nprobe*cap) scores —
+        "pallas" (default: the flat path's t-pass extract-min kernel,
+        ``topk_pallas._select_topt``) or "xla" (``lax.top_k``). Unlike
+        the flat path — whose phase 1 emits group-major mins the select
+        consumes directly — the probed scan emits QUERY-major scores, so
+        "pallas" first pays a (Q, W) -> (W, Q) relayout; even with it,
+        measured 13-16% faster at the 1M point (Q=2048: 9.23 -> 8.16 ms,
+        221.8k -> 250.9k QPS; id-sets identical 0/2048 —
+        benchmarks/ivf_select_probe.py, BENCH_NOTES round 5). Falls back
+        to "xla" automatically when the width is misaligned or would
+        exceed the select kernel's VMEM budget.
     Returns:
       (dist (Q, k) ascending squared-L2, ids (Q, k), ok (Q, k) bool).
     """
