@@ -237,6 +237,25 @@ def test_bovw_chi2_fused_query_matches_generic_chain(corpus_dir):
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_prewarm_wide_margin_compiles_escalation_program(corpus_dir):
+    """--prewarm-wide-margin: prewarm also dispatches the WIDE-margin
+    program (t_margin is static => a separate compile), so the first
+    real escalation doesn't recompile in the request path (ADVICE r4)."""
+    import jax
+
+    from image_search_engine_tpu.serving.fused import WIDE_MARGIN
+
+    cfg = _cfg(corpus_dir, method=Method.DNN, dnn_model=DnnModel.RESNET_TINY,
+               index_type=IndexType.L2, prewarm_wide=True)
+    indexer_main(cfg)
+    engine = QueryEngine(cfg, prewarm=True)
+    assert engine._fused_dispatch is not None
+    dummy = np.zeros((cfg.resize_size, cfg.resize_size, 3), np.float32)
+    d, i, cert = jax.device_get(
+        engine._fused_dispatch(dummy[None], 3, WIDE_MARGIN))
+    assert np.asarray(cert).all() and np.asarray(i).shape[1] == 3
+
+
 def test_dhash_index_and_query(corpus_dir):
     cfg = _cfg(corpus_dir, method=Method.DHASH)
     indexer_main(cfg)

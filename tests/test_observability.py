@@ -73,6 +73,32 @@ def test_certificate_epilogue_escalates_and_counts():
     assert st.snapshot()["certificate_escalations"] == 1
 
 
+def test_certificate_epilogue_still_failing_retry_logged_and_counted(caplog):
+    # ADVICE r4: the retry's certificate must not be discarded — a
+    # wide-margin retry that STILL fails serves best-effort, but loudly
+    # (log.error) and counted in ServingStats (a second escalation)
+    import logging
+
+    import numpy as np
+
+    from image_search_engine_tpu.serving.fused import certificate_epilogue
+
+    st = ServingStats()
+    ep = certificate_epilogue(descending=False, stats=st)
+    d = np.array([[1.0, 2.0]])
+    i = np.array([[5, 6]])
+
+    def retry(t_margin=None):
+        return np.array([[0.5, 1.0]]), np.array([[7, 8]]), np.array([False])
+
+    with caplog.at_level(logging.ERROR,
+                         logger="image_search_engine_tpu.serving.fused"):
+        dd, ii = ep((d, i, np.array([False])), 2, retry)
+    assert ii[0].tolist() == [7, 8]  # best-effort results still served
+    assert st.snapshot()["certificate_escalations"] == 2
+    assert any("STILL failing" in r.message for r in caplog.records)
+
+
 def test_load_images_batched_native_matches_pil(rng, tmp_path):
     from image_search_engine_tpu.utils import native_loader
 
