@@ -137,6 +137,7 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 
 port, pid, workdir = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+micro = len(sys.argv) > 4 and sys.argv[4] == "micro"
 from pathlib import Path
 
 import numpy as np
@@ -176,7 +177,12 @@ cfg = Config(
     data_dir=img_dir, artifacts_dir=root / "artifacts", method=Method.DNN,
     dnn_model=DnnModel.RESNET_TINY, index_type=IndexType.L2,
     resize_size=32, embed_batch_size=4, num_images_to_return=5,
-    precompute_thumbnails=False)
+    precompute_thumbnails=False,
+    # micro mode: the broadcast shape becomes (micro_batch_max, s, s, 3)
+    # and prewarm additionally dispatches the B=max program — exercising
+    # the padded-batch half of the multihost protocol
+    micro_batch="on" if micro else "off", micro_batch_max=4,
+    micro_batch_wait_ms=2.0)
 indexer_main(cfg)
 
 from image_search_engine_tpu.engine import QueryEngine
@@ -280,4 +286,17 @@ def test_two_process_dcn_engine_query(tmp_path):
         _ENGINE_WORKER,
         ["proc {pid}: engine-dcn ok"],
         extra_args=[str(tmp_path)], timeout=600,
+    )
+
+
+def test_two_process_dcn_engine_query_micro_batched(tmp_path):
+    """Same, with --micro-batch on: the broadcast shape is the padded
+    (micro_batch_max, s, s, 3), queries route through the MicroBatcher's
+    worker thread (the coordinator lock must serialize its dispatches
+    with prewarm's), and the B=max prewarm program crosses the wire too
+    (real row count rides the header; both sides slice identically)."""
+    _run_two_process(
+        _ENGINE_WORKER,
+        ["proc {pid}: engine-dcn ok"],
+        extra_args=[str(tmp_path), "micro"], timeout=600,
     )
