@@ -42,6 +42,10 @@ def main() -> None:
                     "exact-search corpus one chip can hold vs bf16")
     args = ap.parse_args()
 
+    from image_search_engine_tpu.utils import compile_cache
+
+    compile_cache.enable()  # tunnel-flake insurance: relaunch skips compiles
+
     import jax
     import jax.numpy as jnp
 
